@@ -1,0 +1,221 @@
+"""End-to-end training throughput benchmark.
+
+Metric: environment steps consumed per second by the FULL training loop
+(vectorized rollout + replay insert + 8 train iterations per episode block)
+on the canonical REFIL Group Matching parity config
+(``config/algs/refil_group_matching.yaml``: 8 agents, 6 states, 2 groups,
+attn 64/4 heads, lin_flex_qmix, batch 32, 8 envs).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+is measured in-process against a faithful reference-style proxy of its hot
+loop (SURVEY §3.2/3.3): a per-step Python/numpy env loop over 8 sequential
+envs, a torch entity-attention agent forward per step, and 8 torch training
+iterations (whole-episode forward + backward) per episode block — i.e. the
+reference architecture minus its pipe/process overhead (generous to it).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+# ----------------------------------------------------------------------
+def bench_ours(n_blocks: int = 30, batch_size_run: int = 8) -> float:
+    import jax
+
+    from refil_tpu.config import args_sanity_check, config_to_args, load_config
+    from refil_tpu.controllers.mac import MAC_REGISTRY
+    from refil_tpu.core.buffer import ReplayBuffer
+    from refil_tpu.envs.group_matching import GroupMatching
+    from refil_tpu.learners.q_learner import QLearner
+    from refil_tpu.run import _dummy_batch
+    from refil_tpu.runners.vector_runner import VectorRunner
+
+    cfg = load_config(alg="refil_group_matching", env="group_matching")
+    cfg["batch_size_run"] = batch_size_run
+    args = config_to_args(args_sanity_check(cfg))
+    args.entity_scheme = True
+    env = GroupMatching(**cfg["env_args"])
+    info = env.env_info()
+    args.n_agents = info["n_agents"]
+    args.n_actions = info["n_actions"]
+    args.n_entities = info["n_entities"]
+    args.entity_shape = info["entity_shape"]
+    args.gt_mask_avail = info["gt_mask_avail"]
+
+    mac = MAC_REGISTRY["entity_mac"](args, info)
+    key = jax.random.PRNGKey(0)
+    learner = QLearner(mac, args, info, key)
+    state = learner.init_state(key, _dummy_batch(mac, info))
+    runner = VectorRunner(env, mac, args, logger=None)
+    buffer = None
+
+    def block(state, key, episode):
+        nonlocal buffer
+        key, k_roll = jax.random.split(key)
+        batch = runner.run(state.params["agent"], k_roll, test_mode=False)
+        if buffer is None:
+            buffer = ReplayBuffer(batch, args.buffer_size, seed=0)
+        buffer.insert_episode_batch(batch)
+        if buffer.can_sample(args.batch_size):
+            key, k_t = jax.random.split(key)
+            samples = buffer.sample_many(args.training_iters, args.batch_size)
+            state, _ = learner.train_iters(
+                state, samples, k_t, runner.t_env, episode
+            )
+        return state, key
+
+    # warmup: fill buffer + compile everything
+    episode = 0
+    warm_blocks = max(2, args.batch_size // batch_size_run)
+    for _ in range(warm_blocks):
+        state, key = block(state, key, episode)
+        episode += batch_size_run
+    jax.block_until_ready(state.params)
+
+    t_env0 = runner.t_env
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        state, key = block(state, key, episode)
+        episode += batch_size_run
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return (runner.t_env - t_env0) / dt
+
+
+# ----------------------------------------------------------------------
+def bench_reference_proxy(n_blocks: int = 3) -> float:
+    """Reference-architecture proxy: sequential python envs + torch agent.
+
+    Mirrors SURVEY §3.2/§3.3: per env step — python env.step per env, one
+    torch forward (batch=8) for action selection; per episode block — 8
+    training iterations of whole-episode forward+backward on batch 32.
+    """
+    import torch
+    import torch.nn as nn
+
+    N_ENVS, N_AGENTS, N_STATES, N_GROUPS, T = 8, 8, 6, 2, 50
+    EMB, HEADS, BATCH, ITERS = 64, 4, 32, 8
+    D = N_STATES + N_GROUPS + N_AGENTS
+    A = 3
+
+    class Env:
+        def __init__(self, seed):
+            self.r = np.random.RandomState(seed)
+
+        def reset(self):
+            self.locs = np.zeros((N_AGENTS, N_STATES), np.float32)
+            self.locs[range(N_AGENTS), self.r.randint(0, N_STATES, N_AGENTS)] = 1
+            agents = list(range(N_AGENTS))
+            self.r.shuffle(agents)
+            parts = [0] + self.r.randint(0, N_AGENTS, (N_GROUPS - 1,)).tolist() + [N_AGENTS]
+            self.groups = [agents[s:e] for s, e in zip(parts[:-1], parts[1:])]
+            self.t = 0
+            return self.entities()
+
+        def entities(self):
+            g = np.zeros((N_AGENTS, N_GROUPS), np.float32)
+            for i, grp in enumerate(self.groups):
+                g[grp, i] = 1
+            return np.concatenate([self.locs, g, np.eye(N_AGENTS, dtype=np.float32)], 1)
+
+        def step(self, acts):
+            for ia, ac in enumerate(acts):
+                if self.r.uniform() < 0.1:
+                    ac = self.r.randint(0, 3)
+                if ac != 1:
+                    cur = int(np.where(self.locs[ia])[0][0])
+                    self.locs[ia, cur] = 0
+                    self.locs[ia, (cur + (1 if ac == 2 else -1)) % N_STATES] = 1
+            self.t += 1
+            return -0.1, self.t >= T, self.entities()
+
+    class Agent(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(D, EMB)
+            self.in_t = nn.Linear(EMB, 3 * EMB, bias=False)
+            self.out_t = nn.Linear(EMB, EMB)
+            self.fc2 = nn.Linear(EMB, A)
+            self.w = nn.Linear(D, EMB)  # stand-in hypernet head
+
+        def forward(self, e):  # (B, Ne, D)
+            x = torch.relu(self.fc1(e))
+            q, k, v = self.in_t(x).chunk(3, -1)
+            B, Ne, _ = x.shape
+            hd = EMB // HEADS
+            q = q.view(B, Ne, HEADS, hd).transpose(1, 2)
+            k = k.view(B, Ne, HEADS, hd).transpose(1, 2)
+            v = v.view(B, Ne, HEADS, hd).transpose(1, 2)
+            att = torch.softmax(q @ k.transpose(-1, -2) / hd ** 0.5, -1)
+            o = (att @ v).transpose(1, 2).reshape(B, Ne, EMB)
+            return self.fc2(torch.relu(self.out_t(o)))
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    agent = Agent()
+    opt = torch.optim.RMSprop(agent.parameters(), lr=5e-4, alpha=0.99, eps=1e-5)
+    envs = [Env(i) for i in range(N_ENVS)]
+    replay = []
+
+    steps = 0
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        obs = np.stack([e.reset() for e in envs])
+        ep = []
+        for t in range(T):
+            with torch.no_grad():
+                q = agent(torch.from_numpy(obs))
+            acts = q.argmax(-1).numpy()
+            nxt = []
+            for i, e in enumerate(envs):
+                _, _, o = e.step(acts[i])
+                nxt.append(o)
+                steps += 1
+            ep.append(obs)
+            obs = np.stack(nxt)
+        replay.append(np.stack(ep, 1))  # (B, T, Ne, D)
+        if len(replay) * N_ENVS >= BATCH:
+            data = np.concatenate(replay[-4:], 0)[:BATCH]
+            for _ in range(ITERS):
+                x = torch.from_numpy(data.reshape(-1, N_AGENTS, D))
+                # REFIL ×3 tiling on the training pass
+                q = agent(x.repeat(3, 1, 1))
+                loss = (q ** 2).mean()
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+    return steps / (time.perf_counter() - t0)
+
+
+def main():
+    batch_size_run = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    ours = bench_ours(batch_size_run=batch_size_run)
+    try:
+        ref = bench_reference_proxy()
+    except Exception as e:  # torch unavailable etc.
+        print(f"reference proxy failed: {e}", file=sys.stderr)
+        ref = None
+    vs = (ours / ref) if ref else None
+    print(
+        f"[bench] ours={ours:.1f} env-steps/s, reference-proxy={ref and round(ref, 1)}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "group_matching_train_env_steps_per_s",
+                "value": round(ours, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": vs and round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""HBM-resident episode replay buffer.
+
+Parity target: reference ``src/components/episode_buffer.py`` (EpisodeBatch +
+ReplayBuffer). TPU-first re-design:
+
+  * storage is a fixed-shape pytree ``{key: (buffer_size, T+1, ...)}`` living
+    on device (HBM) — no host<->device copies on the hot path;
+  * insertion is a donated jitted scatter at ``(index + arange(B)) % size``
+    (the reference's recursive ring-wraparound split,
+    ``episode_buffer.py:213-228``, becomes a single modular scatter);
+  * sampling indices are drawn host-side without replacement — mirroring the
+    reference's ``np.random.choice`` (``episode_buffer.py:239``) — and the
+    gather runs jitted on device.
+
+Unlike the reference we do NOT truncate sampled batches to ``max_t_filled``
+(``run.py:269-270``): dynamic time shapes would retrigger XLA compilation; the
+learner's ``filled`` masking makes the math identical, the padded tail is pure
+(masked) compute.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _scatter(data, batch, positions):
+    return jax.tree.map(lambda buf, b: buf.at[positions].set(b), data, batch)
+
+
+@jax.jit
+def _gather(data, idx):
+    return jax.tree.map(lambda buf: buf[idx], data)
+
+
+class ReplayBuffer:
+    def __init__(self, template: Dict[str, jnp.ndarray], buffer_size: int, seed: int = 0):
+        """``template``: one episode batch (B, T+1, ...) defining shapes/dtypes."""
+        self.buffer_size = buffer_size
+        self.data = jax.tree.map(
+            lambda x: jnp.zeros((buffer_size,) + x.shape[1:], x.dtype), template
+        )
+        self.index = 0
+        self.episodes_in_buffer = 0
+        self._rng = np.random.default_rng(seed)
+
+    def insert_episode_batch(self, batch: Dict[str, jnp.ndarray]) -> None:
+        B = jax.tree.leaves(batch)[0].shape[0]
+        positions = jnp.asarray(
+            (self.index + np.arange(B)) % self.buffer_size, jnp.int32
+        )
+        self.data = _scatter(self.data, batch, positions)
+        self.index = int((self.index + B) % self.buffer_size)
+        self.episodes_in_buffer = min(self.episodes_in_buffer + B, self.buffer_size)
+
+    def can_sample(self, batch_size: int) -> bool:
+        return self.episodes_in_buffer >= batch_size
+
+    def sample(self, batch_size: int) -> Dict[str, jnp.ndarray]:
+        """Uniform sample without replacement (reference ``episode_buffer.py:233-240``)."""
+        assert self.can_sample(batch_size)
+        if self.episodes_in_buffer == batch_size:
+            idx = np.arange(batch_size)
+        else:
+            idx = self._rng.choice(self.episodes_in_buffer, batch_size, replace=False)
+        return _gather(self.data, jnp.asarray(idx, jnp.int32))
+
+    def sample_many(self, n_iters: int, batch_size: int) -> Dict[str, jnp.ndarray]:
+        """``n_iters`` independent uniform samples gathered in ONE device op,
+        stacked on a leading axis (I, bs, ...) — feeds the learner's fused
+        multi-iteration train step (one jit instead of ``training_iters``
+        dispatches)."""
+        assert self.can_sample(batch_size)
+        if self.episodes_in_buffer == batch_size:
+            idx = np.tile(np.arange(batch_size), (n_iters, 1))
+        else:
+            idx = np.stack(
+                [
+                    self._rng.choice(self.episodes_in_buffer, batch_size, replace=False)
+                    for _ in range(n_iters)
+                ]
+            )
+        return _gather(self.data, jnp.asarray(idx, jnp.int32))

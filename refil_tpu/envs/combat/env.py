@@ -1,0 +1,711 @@
+"""EntityBattle: vectorized JAX combat stand-in for the reference's custom
+StarCraft II env.
+
+Parity target: the observable contract of ``src/envs/starcraft2/
+starcraft2custom.py`` — entity features (``get_entities:1055-1135``,
+``get_entity_size:1137-1150``), masks (``get_masks:1024-1053``), available
+actions (``get_avail_agent_actions:1490-1538``), action semantics
+(``get_agent_action:684-779``: no-op/stop/4 moves/attack-or-heal-by-tag),
+random per-episode tags (``init_units:1716-1728``), scenario sampling
+(``init_units:1648-1711``), reward (``reward_battle:879-934`` + win bonus and
+max-reward scaling, ``step:643-677``), and termination
+(``update_units:1790-1834`` incl. the only-Medivacs-left rule).
+
+The SC2 binary itself is replaced by a closed-form combat model (units move,
+chase, fire with per-type damage/cooldown/range, shields absorb first,
+Medivacs heal) — see ``units.py`` for the stats. The enemy army runs the
+stand-in of the built-in bot given the reference's attack-move order toward
+the ally spawn (``_init_enemy_strategy:1776-1788``): engage the nearest
+visible ally, otherwise advance on the attack point.
+
+Everything is (B, slots) arrays with active-prefix masks; one ``step`` is one
+fused XLA program, vectorized over thousands of episodes.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import register_env
+from . import units as U
+from .scenarios import CompiledScenarios, compile_scenarios
+
+_FAR = 1000.0
+
+
+class CombatState(NamedTuple):
+    scen: jnp.ndarray  # (B,)
+    a_type: jnp.ndarray  # (B, Na) int32 global unit id
+    a_active: jnp.ndarray  # (B, Na) bool — slot exists this episode
+    e_type: jnp.ndarray
+    e_active: jnp.ndarray
+    a_pos: jnp.ndarray  # (B, Na, 2)
+    e_pos: jnp.ndarray
+    a_health: jnp.ndarray
+    a_shield: jnp.ndarray
+    a_cd: jnp.ndarray  # weapon cooldown, game frames
+    a_energy: jnp.ndarray
+    e_health: jnp.ndarray
+    e_shield: jnp.ndarray
+    e_cd: jnp.ndarray
+    a_tags: jnp.ndarray  # (B, Na) global tag ids in [n_tags_e, n_tags_e+n_tags_a)
+    e_tags: jnp.ndarray  # (B, Ne) in [0, n_tags_e)
+    e_slot_of_tag: jnp.ndarray  # (B, n_tags_e) int32
+    a_slot_of_tag: jnp.ndarray  # (B, n_tags_a) int32
+    attack_point: jnp.ndarray  # (B, 2)
+    prev_a_hp: jnp.ndarray  # health+shield snapshot for reward deltas
+    prev_e_hp: jnp.ndarray
+    dead_a: jnp.ndarray  # (B, Na) bool: death already counted for reward
+    dead_e: jnp.ndarray
+    t: jnp.ndarray  # (B,)
+
+
+@register_env("entity_battle")
+class EntityBattle:
+    def __init__(
+        self,
+        scenario_dict: Dict,
+        entity_scheme: bool = True,
+        episode_limit: Optional[int] = None,
+        move_amount: float = 2.0,
+        step_mul: int = 8,
+        sight_range: float = 9.0,
+        shoot_range: float = 6.0,
+        random_tags: bool = True,
+        reward_death_value: float = 10.0,
+        reward_win: float = 200.0,
+        reward_defeat: float = 0.0,
+        reward_negative_scale: float = 0.5,
+        reward_only_positive: bool = True,
+        reward_scale: bool = True,
+        reward_scale_rate: float = 20.0,
+        reward_sparse: bool = False,
+        map_size: float = 32.0,
+        **unused,
+    ):
+        assert entity_scheme, "EntityBattle only supports the entity scheme"
+        self.sc = compile_scenarios(scenario_dict)
+        self.scenario_names = self.sc.names
+        self.rotate = bool(scenario_dict.get("rotate", False))
+        self.ally_centered = bool(scenario_dict.get("ally_centered", False))
+        self.separation = float(scenario_dict.get("separation", 10))
+        self.jitter = float(scenario_dict.get("jitter", 0))
+        self.n_extra_tags = int(scenario_dict.get("n_extra_tags", 0))
+        self.episode_limit = int(
+            episode_limit or scenario_dict.get("episode_limit", 100)
+        )
+
+        self.max_na = self.sc.max_n_agents
+        self.max_ne = self.sc.max_n_enemies
+        self.n_tags_e = self.max_ne + self.n_extra_tags
+        self.n_tags_a = self.max_na + self.n_extra_tags
+        self.has_medivac = U.UNIT_ID["Medivac"] in self.sc.unit_type_set
+        # action space (reference starcraft2custom.py:370-376)
+        self.n_actions_no_attack = 6
+        if self.has_medivac:
+            self.n_actions = 6 + self.n_tags_e + self.n_tags_a
+        else:
+            self.n_actions = 6 + self.n_tags_e
+
+        # type bits: local ids over the unit types present (reference :381-389)
+        uts = self.sc.unit_type_set
+        self.unit_type_bits = len(uts) if len(uts) > 1 else 0
+        local = np.zeros((U.N_UNIT_TYPES,), np.int32)
+        for i, u in enumerate(uts):
+            local[u] = i
+        self.local_type = jnp.asarray(local)
+        self.shield_bits = int(any(U.SHIELD_MAX[u] > 0 for u in uts))
+        self.energy_bits = 1  # energy+cooldown block always present (:1104-1109)
+
+        self.move_amount = float(move_amount)
+        self.step_mul = int(step_mul)
+        self.sight_range = float(sight_range)
+        self.shoot_range = float(shoot_range)
+        self.random_tags = bool(random_tags)
+        self.map_size = float(map_size)
+        self.center = jnp.asarray([map_size / 2.0, map_size / 2.0], jnp.float32)
+
+        self.reward_death_value = reward_death_value
+        self.reward_win = reward_win
+        self.reward_defeat = reward_defeat
+        self.reward_negative_scale = reward_negative_scale
+        self.reward_only_positive = bool(reward_only_positive)
+        self.reward_scale = bool(reward_scale)
+        self.reward_scale_rate = reward_scale_rate
+        self.reward_sparse = bool(reward_sparse)
+
+        # max_reward from the max scenario (reference :391-395, :1705-1711)
+        mx_ally, mx_enemy = scenario_dict["max_types_and_units_scenario"]
+        enemy_hp = sum(
+            n * (U.HEALTH_MAX[U.UNIT_ID[t]] + U.SHIELD_MAX[U.UNIT_ID[t]])
+            for n, t in mx_enemy
+        )
+        self.max_reward = (
+            float(enemy_hp)
+            + self.max_ne * reward_death_value
+            + reward_win
+        )
+
+        # per-step movement budget: speed (u/s) * step time
+        dt = self.step_mul / U.GAME_FPS
+        self.speed_step = jnp.asarray(U.SPEED * dt, jnp.float32)
+        self.health_max = jnp.asarray(U.HEALTH_MAX, jnp.float32)
+        self.shield_max = jnp.asarray(U.SHIELD_MAX, jnp.float32)
+        self.energy_max = jnp.asarray(U.ENERGY_MAX, jnp.float32)
+        self.damage = jnp.asarray(U.DAMAGE, jnp.float32)
+        self.weapon_range = jnp.asarray(U.WEAPON_RANGE, jnp.float32)
+        self.cooldown_frames = jnp.asarray(U.COOLDOWN_FRAMES, jnp.float32)
+        self.is_medivac_t = jnp.asarray(U.IS_MEDIVAC)
+
+        # static per-slot spawn spread (golden-angle spiral) so co-group units
+        # don't stack exactly on the group anchor
+        def spiral(n):
+            i = np.arange(n)
+            r = 0.55 * np.sqrt(i + 0.25)
+            th = 2.39996 * i
+            return np.stack([r * np.cos(th), r * np.sin(th)], -1).astype(np.float32)
+
+        self.a_spread = jnp.asarray(spiral(self.max_na))
+        self.e_spread = jnp.asarray(spiral(self.max_ne))
+
+        self.sc_j = jax.tree.map(
+            jnp.asarray,
+            {
+                "ally_types": self.sc.ally_types,
+                "ally_active": self.sc.ally_active,
+                "enemy_types": self.sc.enemy_types,
+                "enemy_active": self.sc.enemy_active,
+            },
+        )
+
+    # ------------------------------------------------------------------
+    final_info_keys = ("battle_won",)
+
+    def env_info(self) -> Dict[str, Any]:
+        """Reference ``get_env_info`` (``starcraft2custom.py:1876-1889``)."""
+        return {
+            "entity_shape": self.get_entity_size(),
+            "n_actions": self.n_actions,
+            "n_agents": self.max_na,
+            "n_entities": self.max_na + self.max_ne,
+            "episode_limit": self.episode_limit,
+        }
+
+    def get_entity_size(self) -> int:
+        """Reference ``get_entity_size`` (``starcraft2custom.py:1137-1150``)."""
+        nf = self.n_tags_e + self.n_tags_a  # tag onehot
+        nf += self.n_actions - 2  # avail actions minus no-op/stop
+        nf += self.unit_type_bits
+        nf += 1 + self.shield_bits  # health (+shield)
+        nf += 2  # energy + cooldown (allies)
+        nf += 4  # center-rel + CoM-rel positions
+        return nf
+
+    # ------------------------------------------------------------------
+    def reset(
+        self,
+        key: jax.Array,
+        batch_size: int,
+        test: bool = False,
+        index: Optional[int] = None,
+    ) -> Tuple[CombatState, Dict[str, jnp.ndarray]]:
+        B = batch_size
+        k_scen, k_theta, k_jit_a, k_jit_e, k_tag_a, k_tag_e = jax.random.split(key, 6)
+        if index is None:
+            scen = jax.random.randint(k_scen, (B,), 0, self.sc.n_scenarios)
+        else:
+            scen = jnp.full((B,), int(index), jnp.int32)
+
+        a_type = self.sc_j["ally_types"][scen]
+        a_active = self.sc_j["ally_active"][scen]
+        e_type = self.sc_j["enemy_types"][scen]
+        e_active = self.sc_j["enemy_active"][scen]
+
+        # spawn geometry (reference _assign_pos, starcraft2custom.py:443-459)
+        if self.rotate:
+            theta = jax.random.uniform(k_theta, (B,)) * 2 * jnp.pi
+        else:
+            theta = jnp.full((B,), jnp.pi)
+        r = self.separation if self.ally_centered else self.separation / 2.0
+        offs = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], -1)
+        a_anchor = self.center + (0.0 if self.ally_centered else 1.0) * offs
+        e_anchor = self.center - offs
+        jit_a = (jax.random.uniform(k_jit_a, (B, 2)) - 0.5) * 2 * self.jitter
+        jit_e = (jax.random.uniform(k_jit_e, (B, 2)) - 0.5) * 2 * self.jitter
+        a_pos = a_anchor[:, None] + jit_a[:, None] + self.a_spread[None]
+        e_pos = e_anchor[:, None] + jit_e[:, None] + self.e_spread[None]
+        a_pos = jnp.clip(a_pos, 1.0, self.map_size - 1.0)
+        e_pos = jnp.clip(e_pos, 1.0, self.map_size - 1.0)
+
+        a_health = self.health_max[a_type] * a_active
+        a_shield = self.shield_max[a_type] * a_active
+        e_health = self.health_max[e_type] * e_active
+        e_shield = self.shield_max[e_type] * e_active
+        a_energy = jnp.where(
+            self.is_medivac_t[a_type] & a_active, U.MEDIVAC_START_ENERGY, 0.0
+        )
+
+        # per-episode random tags (reference init_units:1716-1728)
+        if self.random_tags:
+            pe = jax.vmap(lambda k: jax.random.permutation(k, self.n_tags_e))(
+                jax.random.split(k_tag_e, B)
+            )
+            pa = jax.vmap(lambda k: jax.random.permutation(k, self.n_tags_a))(
+                jax.random.split(k_tag_a, B)
+            )
+            e_tags = pe[:, : self.max_ne].astype(jnp.int32)
+            a_tags = (self.n_tags_e + pa[:, : self.max_na]).astype(jnp.int32)
+        else:
+            e_tags = jnp.broadcast_to(
+                jnp.arange(self.max_ne, dtype=jnp.int32), (B, self.max_ne)
+            )
+            a_tags = jnp.broadcast_to(
+                self.n_tags_e + jnp.arange(self.max_na, dtype=jnp.int32),
+                (B, self.max_na),
+            )
+        e_slot_of_tag = (
+            jnp.full((B, self.n_tags_e), -1, jnp.int32)
+            .at[jnp.arange(B)[:, None], e_tags]
+            .set(jnp.broadcast_to(jnp.arange(self.max_ne, dtype=jnp.int32), (B, self.max_ne)))
+        )
+        a_slot_of_tag = (
+            jnp.full((B, self.n_tags_a), -1, jnp.int32)
+            .at[jnp.arange(B)[:, None], a_tags - self.n_tags_e]
+            .set(jnp.broadcast_to(jnp.arange(self.max_na, dtype=jnp.int32), (B, self.max_na)))
+        )
+
+        attack_point = (a_pos * a_active[..., None]).sum(1) / jnp.maximum(
+            a_active.sum(1, keepdims=True), 1
+        )
+
+        state = CombatState(
+            scen=scen,
+            a_type=a_type,
+            a_active=a_active,
+            e_type=e_type,
+            e_active=e_active,
+            a_pos=a_pos,
+            e_pos=e_pos,
+            a_health=a_health,
+            a_shield=a_shield,
+            a_cd=jnp.zeros_like(a_health),
+            a_energy=a_energy,
+            e_health=e_health,
+            e_shield=e_shield,
+            e_cd=jnp.zeros_like(e_health),
+            a_tags=a_tags,
+            e_tags=e_tags,
+            e_slot_of_tag=e_slot_of_tag,
+            a_slot_of_tag=a_slot_of_tag,
+            attack_point=attack_point,
+            prev_a_hp=a_health + a_shield,
+            prev_e_hp=e_health + e_shield,
+            dead_a=jnp.zeros_like(a_active),
+            dead_e=jnp.zeros_like(e_active),
+            t=jnp.zeros((B,), jnp.int32),
+        )
+        return state, self.observe(state)
+
+    # ------------------------------------------------------------------
+    def _dists(self, state: CombatState):
+        """Pairwise distances; _FAR between pairs where either is dead, but 0
+        on the diagonal (reference _calc_distance_mtx:515-539)."""
+        a_alive = state.a_health > 0
+        e_alive = state.e_health > 0
+        pos = jnp.concatenate([state.a_pos, state.e_pos], axis=1)
+        alive = jnp.concatenate([a_alive, e_alive], axis=1)
+        d = jnp.linalg.norm(pos[:, :, None] - pos[:, None, :], axis=-1)
+        valid = alive[:, :, None] & alive[:, None, :]
+        d = jnp.where(valid, d, _FAR)
+        n = d.shape[1]
+        d = jnp.where(jnp.eye(n, dtype=bool)[None], 0.0, d)
+        return d  # (B, Na+Ne, Na+Ne)
+
+    def get_avail_actions(self, state: CombatState) -> jnp.ndarray:
+        """(B, Na, A) bool. Reference ``get_avail_agent_actions:1490-1549``."""
+        B = state.t.shape[0]
+        Na, Ne = self.max_na, self.max_ne
+        a_alive = (state.a_health > 0) & state.a_active
+        d = self._dists(state)
+        d_aa = d[:, :Na, :Na]
+        d_ae = d[:, :Na, Na:]
+
+        avail = jnp.zeros((B, Na, self.n_actions), bool)
+        # stop always available while alive
+        avail = avail.at[:, :, 1].set(True)
+        # moves: in-bounds check (empty map; reference can_move + pathing grid)
+        m = self.move_amount / 2.0
+        pos = state.a_pos
+        can_n = pos[..., 1] + m < self.map_size - 1.0
+        can_s = pos[..., 1] - m > 1.0
+        can_e = pos[..., 0] + m < self.map_size - 1.0
+        can_w = pos[..., 0] - m > 1.0
+        avail = avail.at[:, :, 2].set(can_n)
+        avail = avail.at[:, :, 3].set(can_s)
+        avail = avail.at[:, :, 4].set(can_e)
+        avail = avail.at[:, :, 5].set(can_w)
+
+        is_medivac = self.is_medivac_t[state.a_type]
+        # attack: enemies within shoot range -> action slot 6 + enemy tag
+        in_range_e = (d_ae <= self.shoot_range) & (~is_medivac[:, :, None])
+        tag_oh_e = jax.nn.one_hot(state.e_tags, self.n_tags_e, dtype=jnp.float32)
+        attack_avail = (
+            jnp.einsum("bij,bjt->bit", in_range_e.astype(jnp.float32), tag_oh_e) > 0
+        )
+        avail = avail.at[:, :, 6 : 6 + self.n_tags_e].set(attack_avail)
+        if self.has_medivac:
+            # heal: non-flying (non-medivac) allies within range (ref :1513-1532)
+            target_ok = (
+                (d_aa <= self.shoot_range)
+                & (~self.is_medivac_t[state.a_type][:, None, :])
+                & is_medivac[:, :, None]
+            )
+            tag_oh_a = jax.nn.one_hot(
+                state.a_tags - self.n_tags_e, self.n_tags_a, dtype=jnp.float32
+            )
+            heal_avail = (
+                jnp.einsum("bij,bjt->bit", target_ok.astype(jnp.float32), tag_oh_a) > 0
+            )
+            avail = avail.at[:, :, 6 + self.n_tags_e :].set(heal_avail)
+
+        # dead/inactive agents: only no-op (reference :1536-1538, :1543-1548)
+        noop_only = jnp.zeros((self.n_actions,), bool).at[0].set(True)
+        avail = jnp.where(a_alive[:, :, None], avail, noop_only[None, None])
+        return avail
+
+    # ------------------------------------------------------------------
+    def step(
+        self, state: CombatState, actions: jnp.ndarray, key: jax.Array
+    ) -> Tuple[CombatState, Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict]:
+        B = state.t.shape[0]
+        Na, Ne = self.max_na, self.max_ne
+        a_alive = (state.a_health > 0) & state.a_active
+        e_alive = (state.e_health > 0) & state.e_active
+        actions = actions.astype(jnp.int32)
+
+        # ---- decode agent actions ----
+        is_move = (actions >= 2) & (actions <= 5)
+        dirs = jnp.asarray(
+            [[0, 0], [0, 0], [0, 1], [0, -1], [1, 0], [-1, 0]], jnp.float32
+        )
+        move_dir = dirs[jnp.clip(actions, 0, 5)]  # (B, Na, 2)
+        tag = jnp.clip(actions - 6, 0, self.n_tags_e + self.n_tags_a - 1)
+        is_attack = actions >= 6
+        is_medivac = self.is_medivac_t[state.a_type]
+        # non-medivac: enemy slot by tag; medivac: ally slot by (tag - n_tags_e)
+        atk_slot = jnp.take_along_axis(
+            state.e_slot_of_tag, jnp.clip(tag, 0, self.n_tags_e - 1), axis=1
+        )
+        heal_slot = jnp.take_along_axis(
+            state.a_slot_of_tag,
+            jnp.clip(tag - self.n_tags_e, 0, self.n_tags_a - 1),
+            axis=1,
+        )
+        atk_slot = jnp.clip(atk_slot, 0, Ne - 1)
+        heal_slot = jnp.clip(heal_slot, 0, Na - 1)
+        is_agent_attack = is_attack & ~is_medivac & a_alive
+        is_agent_heal = is_attack & is_medivac & a_alive
+
+        # ---- enemy AI: engage nearest living ally, else push attack point ----
+        d_ea = jnp.linalg.norm(
+            state.e_pos[:, :, None] - state.a_pos[:, None, :], axis=-1
+        )  # (B, Ne, Na)
+        d_ea = jnp.where(a_alive[:, None, :], d_ea, _FAR)
+        e_target = jnp.argmin(d_ea, axis=2)  # (B, Ne)
+        e_target_dist = jnp.min(d_ea, axis=2)
+        e_sees = e_target_dist <= self.sight_range
+        e_engage = e_alive & e_sees & (~self.is_medivac_t[state.e_type])
+
+        # ---- movement ----
+        a_speed = self.speed_step[state.a_type]
+        # commanded move: displacement min(move_amount, speed) in direction
+        move_step = jnp.minimum(self.move_amount, a_speed)[..., None] * move_dir
+        # chase: attackers/healers close on their target up to weapon range
+        tgt_pos_atk = jnp.take_along_axis(
+            state.e_pos, atk_slot[..., None], axis=1
+        )
+        tgt_pos_heal = jnp.take_along_axis(
+            state.a_pos, heal_slot[..., None], axis=1
+        )
+        tgt_pos = jnp.where(is_medivac[..., None], tgt_pos_heal, tgt_pos_atk)
+        delta = tgt_pos - state.a_pos
+        dist_t = jnp.linalg.norm(delta, axis=-1)
+        w_range = self.weapon_range[state.a_type]
+        heal_range = jnp.where(is_medivac, self.weapon_range[state.a_type], w_range)
+        chase_needed = dist_t > w_range
+        chase_amt = jnp.minimum(a_speed, jnp.maximum(dist_t - w_range, 0.0))
+        unit_delta = delta / jnp.maximum(dist_t, 1e-6)[..., None]
+        chase_step = (
+            chase_amt[..., None] * unit_delta * chase_needed[..., None]
+        )
+        a_disp = jnp.where(
+            (is_move & a_alive)[..., None],
+            move_step,
+            jnp.where((is_agent_attack | is_agent_heal)[..., None], chase_step, 0.0),
+        )
+        a_pos = jnp.clip(state.a_pos + a_disp, 1.0, self.map_size - 1.0)
+
+        # enemies: chase target into weapon range, or advance on attack point
+        e_speed = self.speed_step[state.e_type]
+        e_tgt_pos = jnp.take_along_axis(state.a_pos, e_target[..., None], axis=1)
+        goal = jnp.where(
+            e_engage[..., None], e_tgt_pos, state.attack_point[:, None, :]
+        )
+        e_delta = goal - state.e_pos
+        e_dist = jnp.linalg.norm(e_delta, axis=-1)
+        e_wr = self.weapon_range[state.e_type]
+        e_stop_at = jnp.where(e_engage, e_wr, 0.0)
+        e_amt = jnp.minimum(e_speed, jnp.maximum(e_dist - e_stop_at, 0.0))
+        e_disp = (
+            e_amt[..., None]
+            * e_delta
+            / jnp.maximum(e_dist, 1e-6)[..., None]
+            * e_alive[..., None]
+        )
+        e_pos = jnp.clip(state.e_pos + e_disp, 1.0, self.map_size - 1.0)
+
+        # ---- combat resolution (post-movement positions) ----
+        a_cd = jnp.maximum(state.a_cd - self.step_mul, 0.0)
+        e_cd = jnp.maximum(state.e_cd - self.step_mul, 0.0)
+
+        # agents firing at enemies
+        tgt_pos_atk2 = jnp.take_along_axis(e_pos, atk_slot[..., None], axis=1)
+        atk_dist = jnp.linalg.norm(tgt_pos_atk2 - a_pos, axis=-1)
+        tgt_alive = jnp.take_along_axis(e_alive, atk_slot, axis=1)
+        a_fires = (
+            is_agent_attack & (a_cd <= 0) & (atk_dist <= w_range) & tgt_alive
+        )
+        a_dmg = self.damage[state.a_type] * a_fires
+        # scatter damage onto enemy slots
+        dmg_on_e = (
+            jnp.zeros((B, Ne), jnp.float32)
+            .at[jnp.arange(B)[:, None], atk_slot]
+            .add(a_dmg)
+        )
+
+        # enemies firing at their chosen ally
+        e_tgt_pos2 = jnp.take_along_axis(a_pos, e_target[..., None], axis=1)
+        e_atk_dist = jnp.linalg.norm(e_tgt_pos2 - e_pos, axis=-1)
+        e_fires = e_engage & (e_cd <= 0) & (e_atk_dist <= e_wr)
+        e_dmg = self.damage[state.e_type] * e_fires
+        dmg_on_a = (
+            jnp.zeros((B, Na), jnp.float32)
+            .at[jnp.arange(B)[:, None], e_target]
+            .add(e_dmg)
+        )
+
+        # shields absorb first (SC2 semantics; reward counts health+shield)
+        e_shield_new = jnp.maximum(state.e_shield - dmg_on_e, 0.0)
+        spill_e = jnp.maximum(dmg_on_e - state.e_shield, 0.0)
+        e_health_new = jnp.clip(state.e_health - spill_e, 0.0)
+        a_shield_new = jnp.maximum(state.a_shield - dmg_on_a, 0.0)
+        spill_a = jnp.maximum(dmg_on_a - state.a_shield, 0.0)
+        a_health_new = jnp.clip(state.a_health - spill_a, 0.0)
+
+        # healing
+        if self.has_medivac:
+            heal_tgt_pos = jnp.take_along_axis(a_pos, heal_slot[..., None], axis=1)
+            heal_dist = jnp.linalg.norm(heal_tgt_pos - a_pos, axis=-1)
+            heal_tgt_alive = jnp.take_along_axis(a_alive, heal_slot, axis=1)
+            can_heal = (
+                is_agent_heal
+                & (heal_dist <= heal_range)
+                & heal_tgt_alive
+                & (state.a_energy >= U.MEDIVAC_ENERGY_PER_STEP)
+            )
+            heal_amt = (
+                jnp.zeros((B, Na), jnp.float32)
+                .at[jnp.arange(B)[:, None], heal_slot]
+                .add(U.MEDIVAC_HEAL_PER_STEP * can_heal)
+            )
+            # heal only living units, cap at max health
+            a_health_new = jnp.where(
+                a_health_new > 0,
+                jnp.minimum(a_health_new + heal_amt, self.health_max[state.a_type]),
+                a_health_new,
+            )
+            a_energy = jnp.clip(
+                state.a_energy
+                - U.MEDIVAC_ENERGY_PER_STEP * can_heal
+                + U.MEDIVAC_ENERGY_REGEN * is_medivac * a_alive,
+                0.0,
+                self.energy_max[state.a_type],
+            )
+        else:
+            a_energy = state.a_energy
+
+        a_cd = jnp.where(a_fires, self.cooldown_frames[state.a_type], a_cd)
+        e_cd = jnp.where(e_fires, self.cooldown_frames[state.e_type], e_cd)
+
+        # kill shields of dead units (features are zeroed anyway)
+        e_shield_new = jnp.where(e_health_new > 0, e_shield_new, 0.0)
+        a_shield_new = jnp.where(a_health_new > 0, a_shield_new, 0.0)
+
+        # ---- reward (reference reward_battle:879-934) ----
+        hp_e = e_health_new + e_shield_new
+        hp_a = a_health_new + a_shield_new
+        newly_dead_e = (~state.dead_e) & state.e_active & (e_health_new <= 0)
+        newly_dead_a = (~state.dead_a) & state.a_active & (a_health_new <= 0)
+        alive_track_e = (~state.dead_e) & state.e_active & (e_health_new > 0)
+        alive_track_a = (~state.dead_a) & state.a_active & (a_health_new > 0)
+        delta_enemy = (state.prev_e_hp * newly_dead_e).sum(1) + (
+            (state.prev_e_hp - hp_e) * alive_track_e
+        ).sum(1)
+        delta_deaths = self.reward_death_value * newly_dead_e.sum(1)
+        neg = self.reward_negative_scale
+        delta_ally = neg * (
+            (state.prev_a_hp * newly_dead_a).sum(1)
+            + ((state.prev_a_hp - hp_a) * alive_track_a).sum(1)
+        )
+        if self.reward_only_positive:
+            reward = jnp.abs(delta_enemy + delta_deaths)
+        else:
+            reward = (
+                delta_enemy
+                + delta_deaths
+                - delta_ally
+                - self.reward_death_value * neg * newly_dead_a.sum(1)
+            )
+
+        # ---- termination (update_units:1825-1834 + only_medivac_left) ----
+        a_combat_alive = (
+            (a_health_new > 0) & state.a_active & (~self.is_medivac_t[state.a_type])
+        ).sum(1)
+        e_combat_alive = (
+            (e_health_new > 0) & state.e_active & (~self.is_medivac_t[state.e_type])
+        ).sum(1)
+        n_a = ((a_health_new > 0) & state.a_active).sum(1)
+        n_e = ((e_health_new > 0) & state.e_active).sum(1)
+        if self.has_medivac:
+            lost = (a_combat_alive == 0) & (n_e > 0)
+            won = (e_combat_alive == 0) & (n_a > 0)
+        else:
+            lost = (n_a == 0) & (n_e > 0)
+            won = (n_e == 0) & (n_a > 0)
+        draw = (n_a == 0) & (n_e == 0)
+        battle_over = lost | won | draw
+
+        if self.reward_sparse:
+            reward = jnp.where(won, 1.0, jnp.where(lost, -1.0, 0.0))
+        else:
+            reward = reward + jnp.where(won, self.reward_win, 0.0)
+            reward = reward + jnp.where(lost, self.reward_defeat, 0.0)
+
+        t = state.t + 1
+        at_limit = (t >= self.episode_limit) & ~battle_over
+        done = battle_over | at_limit
+
+        if self.reward_scale and not self.reward_sparse:
+            reward = reward / (self.max_reward / self.reward_scale_rate)
+
+        new_state = CombatState(
+            scen=state.scen,
+            a_type=state.a_type,
+            a_active=state.a_active,
+            e_type=state.e_type,
+            e_active=state.e_active,
+            a_pos=a_pos,
+            e_pos=e_pos,
+            a_health=a_health_new,
+            a_shield=a_shield_new,
+            a_cd=a_cd,
+            a_energy=a_energy,
+            e_health=e_health_new,
+            e_shield=e_shield_new,
+            e_cd=e_cd,
+            a_tags=state.a_tags,
+            e_tags=state.e_tags,
+            e_slot_of_tag=state.e_slot_of_tag,
+            a_slot_of_tag=state.a_slot_of_tag,
+            attack_point=state.attack_point,
+            prev_a_hp=hp_a,
+            prev_e_hp=hp_e,
+            dead_a=state.dead_a | newly_dead_a,
+            dead_e=state.dead_e | newly_dead_e,
+            t=t,
+        )
+        info = {"battle_won": won, "episode_limit": at_limit}
+        return new_state, self.observe(new_state), reward, done, info
+
+    # ------------------------------------------------------------------
+    def observe(self, state: CombatState) -> Dict[str, jnp.ndarray]:
+        B = state.t.shape[0]
+        Na, Ne = self.max_na, self.max_ne
+        a_alive = (state.a_health > 0) & state.a_active
+        e_alive = (state.e_health > 0) & state.e_active
+
+        avail = self.get_avail_actions(state)
+
+        # --- entity features (reference get_entities:1055-1135) ---
+        n_tags = self.n_tags_e + self.n_tags_a
+        pos = jnp.concatenate([state.a_pos, state.e_pos], axis=1)  # (B, N, 2)
+        active = jnp.concatenate([state.a_active, state.e_active], axis=1)
+        alive = jnp.concatenate([a_alive, e_alive], axis=1)
+        types = jnp.concatenate([state.a_type, state.e_type], axis=1)
+        health = jnp.concatenate([state.a_health, state.e_health], axis=1)
+        shield = jnp.concatenate([state.a_shield, state.e_shield], axis=1)
+        tags = jnp.concatenate([state.a_tags, state.e_tags], axis=1)
+
+        # CoM over real (active) units, dead units keep last position (:1066-1071)
+        nact = jnp.maximum(active.sum(1, keepdims=True), 1)
+        com = (pos * active[..., None]).sum(1) / nact  # (B, 2)
+        d_com = jnp.linalg.norm(pos - com[:, None], axis=-1)
+        max_d_com = jnp.maximum((d_com * active).max(1, keepdims=True), 1e-6)
+
+        feats = []
+        # tag onehot — set for all real units, dead included (:1076-1082)
+        feats.append(jax.nn.one_hot(tags, n_tags, dtype=jnp.float32) * active[..., None])
+        # avail actions [2:] for agent slots (:1084-1088)
+        av = jnp.zeros((B, Na + Ne, self.n_actions - 2), jnp.float32)
+        av = av.at[:, :Na].set(avail[:, :, 2:].astype(jnp.float32))
+        av = av * active[..., None]
+        feats.append(av)
+        # unit type bits (:1090-1093)
+        if self.unit_type_bits > 0:
+            feats.append(
+                jax.nn.one_hot(
+                    self.local_type[types], self.unit_type_bits, dtype=jnp.float32
+                )
+                * active[..., None]
+            )
+        # alive-gated block (:1094-1115)
+        hmax = self.health_max[types]
+        feats.append((health / jnp.maximum(hmax, 1e-6))[..., None] * alive[..., None])
+        if self.shield_bits:
+            smax = jnp.maximum(self.shield_max[types], 1e-6)
+            feats.append((shield / smax)[..., None] * alive[..., None])
+        # energy + cooldown for ally units only (:1104-1109)
+        is_ally = jnp.zeros((Na + Ne,), bool).at[:Na].set(True)
+        energy = jnp.concatenate(
+            [state.a_energy, jnp.zeros_like(state.e_health)], axis=1
+        )
+        cd = jnp.concatenate([state.a_cd, state.e_cd], axis=1)
+        emax = self.energy_max[types]
+        energy_f = jnp.where(emax > 0, energy / jnp.maximum(emax, 1e-6), 0.0)
+        cd_f = cd / self.cooldown_frames[types]
+        ally_gate = (is_ally[None] & alive)[..., None]
+        feats.append(energy_f[..., None] * ally_gate)
+        feats.append(cd_f[..., None] * ally_gate)
+        # positions: center-rel + CoM-rel (:1111-1115)
+        ctr = (pos - self.center[None, None]) / self.map_size
+        comr = (pos - com[:, None]) / max_d_com[..., None]
+        feats.append(ctr * alive[..., None])
+        feats.append(comr * alive[..., None])
+
+        entities = jnp.concatenate(feats, axis=-1)
+
+        # --- masks (reference get_masks:1024-1053) ---
+        d = self._dists(state)
+        obs_mask = d > self.sight_range
+        obs_mask = obs_mask | ~active[:, :, None] | ~active[:, None, :]
+        entity_mask = ~active
+
+        return {
+            "entities": entities,
+            "obs_mask": obs_mask,
+            "entity_mask": entity_mask,
+            "avail_actions": avail,
+        }

@@ -1,0 +1,289 @@
+"""Q-learner: 1-step double-Q TD with (imagined) value-decomposition mixing.
+
+Parity target: reference ``src/learners/q_learner.py`` — the full loss
+pipeline (``train``, ``q_learner.py:66-201``):
+  whole-episode forward -> gather chosen Qs -> imagine triple-chunk handling ->
+  double-Q target argmax from the live net -> mix live/target ->
+  1-step TD target r + γ(1−term)·Q_tot_target -> masked MSE
+  + λ-weighted imagined loss -> RMSprop with global-norm clip 10 ->
+  hard target update every ``target_update_interval`` episodes.
+
+TPU-first: the whole update is ONE jitted, donated ``train_step``; the target
+network is a second param pytree (hard update = tree copy, replicated under
+SPMD); RMSprop matches torch semantics via ``optax.rmsprop(eps_in_sqrt=False)``
+(torch: ``g / (sqrt(ema(g²)) + eps)``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..modules.mixers import MIXER_REGISTRY
+
+_NEG = -9999999.0  # unavailable-action fill (reference q_learner.py:118)
+
+
+class TrainState(NamedTuple):
+    params: Any  # {'agent': ..., 'mixer': ...}
+    target_params: Any
+    opt_state: Any
+
+
+class QLearner:
+    def __init__(self, mac, args, env_info, key: jax.Array):
+        self.mac = mac
+        self.args = args
+        self.n_agents = env_info["n_agents"]
+        self.is_imagine = "imagine" in args.agent
+
+        self.mixer = None
+        mixer_name = getattr(args, "mixer", None)
+        if mixer_name is not None:
+            if mixer_name == "vdn":
+                self.mixer = MIXER_REGISTRY["vdn"]()
+            elif mixer_name in ("flex_qmix", "lin_flex_qmix"):
+                assert args.entity_scheme, "FlexQMixer only available with entity scheme"
+                self.mixer = MIXER_REGISTRY[mixer_name](
+                    n_agents=self.n_agents,
+                    mixing_embed_dim=args.mixing_embed_dim,
+                    hypernet_embed=args.hypernet_embed,
+                    attn_n_heads=args.attn_n_heads,
+                    softmax_mixing_weights=bool(args.softmax_mixing_weights),
+                    pooling_type=getattr(args, "pooling_type", None),
+                )
+            elif mixer_name == "qmix":
+                self.mixer = MIXER_REGISTRY["qmix"](
+                    n_agents=self.n_agents,
+                    state_dim=int(env_info["state_shape"]),
+                    mixing_embed_dim=args.mixing_embed_dim,
+                    hypernet_layers=getattr(args, "hypernet_layers", 1),
+                    hypernet_embed=getattr(args, "hypernet_embed", 64),
+                    softmax_mixing_weights=bool(args.softmax_mixing_weights),
+                )
+            else:
+                raise ValueError(f"Mixer {mixer_name} not recognised.")
+
+        # torch-RMSprop-equivalent optimiser with pre-clip
+        # (reference q_learner.py:37, :177)
+        tx = [optax.clip_by_global_norm(args.grad_norm_clip)]
+        if getattr(args, "weight_decay", 0):
+            tx.append(optax.add_decayed_weights(args.weight_decay))
+        tx.append(
+            optax.rmsprop(
+                args.lr, decay=args.optim_alpha, eps=args.optim_eps, eps_in_sqrt=False
+            )
+        )
+        self.tx = optax.chain(*tx)
+
+        self.last_target_update_episode = 0
+        self.log_stats_t = -getattr(args, "learner_log_interval", 2000) - 1
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._train_iters = jax.jit(self._train_iters_impl, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array, sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
+        k_agent, k_mixer = jax.random.split(key)
+        agent_params = self.mac.init_params(k_agent)
+        params = {"agent": agent_params}
+        if self.mixer is not None and not isinstance(
+            self.mixer, MIXER_REGISTRY["vdn"]
+        ):
+            ents, om, em, gt = self.mac.build_episode_inputs(
+                jax.tree.map(lambda x: x[:1], sample_batch)
+            )
+            qs = jnp.zeros((1, ents.shape[1], self.n_agents), jnp.float32)
+            params["mixer"] = self.mixer.init(k_mixer, qs, ents, em)
+        elif self.mixer is not None:
+            params["mixer"] = {}
+        opt_state = self.tx.init(params)
+        # real copies: aliased buffers would break donation in the train step
+        target_params = jax.tree.map(jnp.copy, params)
+        return TrainState(params=params, target_params=target_params, opt_state=opt_state)
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, target_params, batch, key):
+        args, mac = self.args, self.mac
+        rewards = batch["reward"][:, :-1]  # (B, T, 1)
+        actions = batch["actions"][:, :-1]  # (B, T, Na) int32
+        terminated = batch["terminated"][:, :-1].astype(jnp.float32)  # (B, T, 1)
+        filled = batch["filled"].astype(jnp.float32)
+        mask = filled[:, :-1]
+        mask = mask.at[:, 1:].multiply(1.0 - terminated[:, :-1])
+        avail = batch["avail_actions"]  # (B, L, Na, A) bool
+
+        gather = lambda q, a: jnp.take_along_axis(q, a[..., None], axis=3)[..., 0]
+
+        metrics = {}
+        if self.is_imagine:
+            all_q, groups = mac.forward_episode(
+                params["agent"],
+                batch,
+                imagine=True,
+                imagine_key=key,
+                use_gt_factors=bool(getattr(args, "train_gt_factors", False)),
+                use_rand_gt_factors=bool(getattr(args, "train_rand_gt_factors", False)),
+            )  # (3B, L, Na, A)
+            rep_actions = jnp.concatenate([actions] * 3, axis=0)
+            all_chosen = gather(all_q[:, :-1], rep_actions)  # (3B, T, Na)
+            mac_out, _, _ = jnp.split(all_q, 3, axis=0)
+            chosen, caqW, caqI = jnp.split(all_chosen, 3, axis=0)
+            caq_imagine = jnp.concatenate([caqW, caqI], axis=2)  # (B, T, 2Na)
+        else:
+            mac_out = mac.forward_episode(params["agent"], batch)  # (B, L, Na, A)
+            chosen = gather(mac_out[:, :-1], actions)
+            groups = None
+
+        target_q = mac.forward_episode(target_params["agent"], batch)[:, 1:]
+        target_q = jnp.where(avail[:, 1:], target_q, _NEG)
+
+        if args.double_q:
+            live_det = jax.lax.stop_gradient(mac_out)
+            live_det = jnp.where(avail, live_det, _NEG)
+            cur_max_actions = jnp.argmax(live_det[:, 1:], axis=3)
+            target_max_qvals = gather(target_q, cur_max_actions)  # (B, T, Na)
+        else:
+            target_max_qvals = target_q.max(axis=3)
+
+        if self.mixer is not None:
+            if isinstance(self.mixer, MIXER_REGISTRY["vdn"]):
+                chosen_tot = chosen.sum(axis=2, keepdims=True)
+                target_tot = target_max_qvals.sum(axis=2, keepdims=True)
+                if self.is_imagine:
+                    caq_tot = caq_imagine.sum(axis=2, keepdims=True)
+            else:
+                # mixer entities include the last-action block exactly like the
+                # agent inputs (reference q_learner.py:45-64 == entity_controller)
+                m_ents, _, m_em, _ = mac.build_episode_inputs(batch)
+                mix_args = (m_ents[:, :-1], m_em[:, :-1])
+                targ_args = (m_ents[:, 1:], m_em[:, 1:])
+                chosen_tot = self.mixer.apply(
+                    params["mixer"], chosen, *mix_args
+                )
+                if self.is_imagine:
+                    g = tuple(gr[:, :-1] for gr in groups)
+                    caq_tot = self.mixer.apply(
+                        params["mixer"], caq_imagine, *mix_args, imagine_groups=g
+                    )
+                target_tot = self.mixer.apply(
+                    target_params["mixer"], target_max_qvals, *targ_args
+                )
+        else:
+            chosen_tot, target_tot = chosen, target_max_qvals
+            caq_tot = caq_imagine if self.is_imagine else None
+
+        targets = rewards + args.gamma * (1.0 - terminated) * target_tot
+        targets = jax.lax.stop_gradient(targets)
+        td_error = chosen_tot - targets
+        masked_td = td_error * mask
+        loss = (masked_td ** 2).sum() / mask.sum()
+        metrics["loss_td"] = loss
+
+        if self.is_imagine:
+            im_td = (caq_tot - targets) * mask
+            im_loss = (im_td ** 2).sum() / mask.sum()
+            loss = (1 - args.lmbda) * loss + args.lmbda * im_loss
+            metrics["im_loss"] = im_loss
+
+        mask_elems = mask.sum()
+        metrics["loss"] = loss
+        metrics["td_error_abs"] = jnp.abs(masked_td).sum() / mask_elems
+        metrics["q_taken_mean"] = (chosen_tot * mask).sum() / (mask_elems * self.n_agents)
+        metrics["target_mean"] = (targets * mask).sum() / (mask_elems * self.n_agents)
+        return loss, metrics
+
+    def _train_step_impl(self, state: TrainState, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, state.target_params, batch, key
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)  # pre-clip, like torch
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, state.target_params, opt_state), metrics
+
+    def _train_iters_impl(self, state: TrainState, batches, key):
+        """``training_iters`` sequential updates fused into one jit via
+        ``lax.scan`` (the reference performs the same serial iterations as
+        separate ``train`` calls, ``run.py:264-275``). ``batches`` is a pytree
+        stacked on a leading iteration axis. Returns last-iteration metrics."""
+        n_iters = jax.tree.leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, n_iters)
+
+        def body(st, it):
+            b, k = it
+            return self._train_step_impl(st, b, k)
+
+        state, metrics_seq = jax.lax.scan(body, state, (batches, keys))
+        metrics = jax.tree.map(lambda m: m[-1], metrics_seq)
+        return state, metrics
+
+    # ------------------------------------------------------------------
+    def train(
+        self, state: TrainState, batch, key: jax.Array, t_env: int, episode_num: int
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        state, metrics = self._train_step(state, batch, key)
+        state = self._maybe_update_targets(state, episode_num)
+        return state, metrics
+
+    def train_iters(
+        self, state: TrainState, batches, key: jax.Array, t_env: int, episode_num: int
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Run all ``training_iters`` updates in one fused jit call.
+        ``batches`` comes from ``ReplayBuffer.sample_many``."""
+        state, metrics = self._train_iters(state, batches, key)
+        state = self._maybe_update_targets(state, episode_num)
+        return state, metrics
+
+    def _maybe_update_targets(self, state: TrainState, episode_num: int) -> TrainState:
+        if (
+            episode_num - self.last_target_update_episode
+        ) / self.args.target_update_interval >= 1.0:
+            state = self._update_targets(state)
+            self.last_target_update_episode = episode_num
+        return state
+
+    @staticmethod
+    def _update_targets(state: TrainState) -> TrainState:
+        # hard copy (reference q_learner.py:203-207); must be a real copy so
+        # the donated train step never sees aliased buffers
+        return TrainState(state.params, jax.tree.map(jnp.copy, state.params), state.opt_state)
+
+    # --- diagnostics: gt-factor ingroup proportion (q_learner.py:98-105,138-147) ---
+    def gt_diagnostics(self, state: TrainState, batch, key: jax.Array):
+        """Returns (ingroup_prop, gt_ingroup_prop) for lin_flex_qmix configs with
+        ``test_gt_factors`` (Group Matching)."""
+        if not isinstance(self.mixer, MIXER_REGISTRY["lin_flex_qmix"]):
+            return None
+        args, mac = self.args, self.mac
+        actions = batch["actions"][:, :-1]
+        rep_actions = jnp.concatenate([actions] * 3, axis=0)
+        gather = lambda q, a: jnp.take_along_axis(q, a[..., None], axis=3)[..., 0]
+        m_ents, _, m_em, _ = mac.build_episode_inputs(batch)
+        mix_args = (m_ents[:, :-1], m_em[:, :-1])
+
+        out = {}
+        for tag, kw in (
+            ("ingroup_prop", {}),
+            ("gt_ingroup_prop", {"use_gt_factors": True}),
+        ):
+            all_q, groups = mac.forward_episode(
+                state.params["agent"], batch, imagine=True, imagine_key=key, **kw
+            )
+            all_chosen = gather(all_q[:, :-1], rep_actions)
+            _, caqW, caqI = jnp.split(all_chosen, 3, axis=0)
+            caq_imagine = jnp.concatenate([caqW, caqI], axis=2)
+            g = tuple(gr[:, :-1] for gr in groups)
+            _, prop = self.mixer.apply(
+                state.params["mixer"],
+                caq_imagine,
+                *mix_args,
+                imagine_groups=g,
+                ret_ingroup_prop=True,
+            )
+            out[tag] = prop
+        return out

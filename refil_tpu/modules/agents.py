@@ -106,7 +106,10 @@ class EntityAttentionFFAgent(nn.Module):
         return q, hidden
 
     def __call__(self, entities, obs_mask, entity_mask, hidden, ret_attn_logits=None,
-                 **unused):
+                 gt_mask=None, **unused):
+        if self.gt_obs_mask and gt_mask is not None:
+            # substitute ground-truth mask for observability (entity_ff_agent.py:34-35)
+            obs_mask = gt_mask
         return self._base_forward(entities, obs_mask, entity_mask, hidden, ret_attn_logits)
 
 

@@ -1,0 +1,269 @@
+"""Experiment orchestration: the outer training loop.
+
+Parity target: reference ``src/run.py`` (``run`` -> ``run_sequential``: scheme
+setup, buffer, mac, runner, learner, checkpoint load, train loop with periodic
+test/save/log; ``evaluate_sequential`` for eval-only runs).
+
+TPU-first: the loop body is two jitted programs — a vectorized rollout and a
+donated train step — everything else is host-side bookkeeping. Checkpoints are
+full training state (params + target + optimizer + t_env), making resume exact
+(the reference only saves model weights, ``q_learner.py:216-229``).
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import pprint
+import time
+from os.path import abspath, dirname, join
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Args, args_sanity_check, config_to_args
+from .controllers.mac import MAC_REGISTRY
+from .core.buffer import ReplayBuffer
+from .envs import ENV_REGISTRY, SCENARIO_REGISTRY
+from .learners.q_learner import QLearner, TrainState
+from .runners.vector_runner import VectorRunner
+from .utils.logging import Logger, get_logger
+from .utils.timehelper import time_left, time_str
+
+
+def build_env(args):
+    env_args = dict(args.env_args)
+    if args.env in ("entity_battle", "sc2custom"):
+        # scenario registry selection (reference run.py:145-147)
+        scen = SCENARIO_REGISTRY[args.scenario]()
+        env_args["scenario_dict"] = scen
+        return ENV_REGISTRY["entity_battle"](**env_args)
+    return ENV_REGISTRY[args.env](**env_args)
+
+
+def run(config: Dict[str, Any]) -> None:
+    config = args_sanity_check(config)
+    args = config_to_args(config)
+    logger = Logger(get_logger())
+
+    # persistent XLA compile cache: repeat runs of the same config skip the
+    # (substantial) TPU compile
+    cache_dir = getattr(args, "jax_cache_dir", "/tmp/jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    logger.console_logger.info(
+        "Experiment Parameters:\n\n%s\n", pprint.pformat(config, indent=4, width=1)
+    )
+
+    unique_token = "{}__{}".format(
+        args.name, datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S-%f")
+    )
+    args.unique_token = unique_token
+    if args.use_tensorboard:
+        tb_dir = join(args.local_results_path, args.tb_dirname, unique_token)
+        logger.setup_tb(tb_dir)
+    logger.setup_jsonl(join(args.local_results_path, "metrics", unique_token + ".jsonl"))
+
+    run_sequential(args, logger)
+    logger.console_logger.info("Finished")
+
+
+def _save_checkpoint(path: str, state: TrainState) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(join(path, "state.msgpack"), "wb") as f:
+        f.write(
+            flax.serialization.msgpack_serialize(
+                flax.serialization.to_state_dict(
+                    {"params": state.params, "target": state.target_params,
+                     "opt": state.opt_state}
+                )
+            )
+        )
+
+
+def _load_checkpoint(path: str, state: TrainState) -> TrainState:
+    with open(join(path, "state.msgpack"), "rb") as f:
+        restored = flax.serialization.msgpack_restore(f.read())
+    tmpl = {"params": state.params, "target": state.target_params, "opt": state.opt_state}
+    tmpl = flax.serialization.from_state_dict(tmpl, restored)
+    return TrainState(params=tmpl["params"], target_params=tmpl["target"],
+                      opt_state=tmpl["opt"])
+
+
+def evaluate_sequential(args, runner: VectorRunner, learner: QLearner,
+                        state: TrainState, logger: Logger, key) -> None:
+    """Eval-only entry (reference ``run.py:71-135``): greedy test episodes,
+    optional per-scenario evaluation, JSON results dump."""
+    res_dict: Dict[str, Any] = {}
+    if args.eval_all_scen:
+        n_scen = len(runner.env.scenario_names)
+    else:
+        n_scen = 1
+    n_test_batches = max(1, args.test_nepisode // runner.batch_size)
+
+    for i in range(n_scen):
+        for _ in range(n_test_batches):
+            key, k = jax.random.split(key)
+            runner.run(state.params["agent"], k, test_mode=True, test_scen=True,
+                       index=i if args.eval_all_scen else None)
+        curr_stats = {k: v[-1][1] for k, v in logger.stats.items()}
+        if args.eval_all_scen:
+            res_dict[runner.env.scenario_names[i]] = curr_stats
+        else:
+            res_dict.update(curr_stats)
+
+    if args.eval_path:
+        path = args.eval_path if args.eval_path.endswith(".json") else args.eval_path + ".json"
+        os.makedirs(dirname(abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(res_dict, f)
+    logger.print_stats_summary()
+
+
+def run_sequential(args, logger: Logger) -> None:
+    # scheme flags (reference run.py:140-147)
+    args.entity_scheme = bool(args.env_args.get("entity_scheme", False))
+
+    env = build_env(args)
+    env_info = env.env_info()
+    args.n_agents = env_info["n_agents"]
+    args.n_actions = env_info["n_actions"]
+    args.n_entities = env_info.get("n_entities", args.n_agents)
+    args.entity_shape = env_info.get("entity_shape")
+    args.gt_mask_avail = env_info.get("gt_mask_avail", False)
+
+    key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+    key, k_init = jax.random.split(key)
+
+    mac = MAC_REGISTRY[args.mac](args, env_info)
+    runner = VectorRunner(env, mac, args, logger)
+    learner = QLearner(mac, args, env_info, k_init)
+    state = learner.init_state(k_init, _dummy_batch(mac, env_info))
+
+    buffer: Optional[ReplayBuffer] = None
+
+    # checkpoint load (reference run.py:214-245)
+    if args.checkpoint_path:
+        if not os.path.isdir(args.checkpoint_path):
+            logger.console_logger.info(
+                "Checkpoint directory %s doesn't exist", args.checkpoint_path
+            )
+            return
+        timesteps = [
+            int(name)
+            for name in os.listdir(args.checkpoint_path)
+            if os.path.isdir(join(args.checkpoint_path, name)) and name.isdigit()
+        ]
+        if args.load_step == 0:
+            timestep_to_load = max(timesteps)
+        else:
+            timestep_to_load = min(timesteps, key=lambda x: abs(x - args.load_step))
+        model_path = join(args.checkpoint_path, str(timestep_to_load))
+        logger.console_logger.info("Loading model from %s", model_path)
+        state = _load_checkpoint(model_path, state)
+        runner.t_env = timestep_to_load
+        if args.evaluate or args.save_replay:
+            key, k_eval = jax.random.split(key)
+            evaluate_sequential(args, runner, learner, state, logger, k_eval)
+            return
+
+    episode = 0
+    last_test_T = -args.test_interval - 1
+    last_log_T = 0
+    model_save_time = 0
+    start_time = time.time()
+    last_time = start_time
+
+    logger.console_logger.info("Beginning training for %s timesteps", args.t_max)
+
+    while runner.t_env <= args.t_max:
+        key, k_roll = jax.random.split(key)
+        episode_batch = runner.run(state.params["agent"], k_roll, test_mode=False)
+        if buffer is None:
+            buffer = ReplayBuffer(episode_batch, args.buffer_size, seed=args.seed)
+        buffer.insert_episode_batch(episode_batch)
+
+        if buffer.can_sample(args.batch_size):
+            key, k_train = jax.random.split(key)
+            samples = buffer.sample_many(args.training_iters, args.batch_size)
+            state, metrics = learner.train_iters(
+                state, samples, k_train, runner.t_env, episode
+            )
+            if (
+                metrics is not None
+                and runner.t_env - learner.log_stats_t >= args.learner_log_interval
+            ):
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                for k, v in host_metrics.items():
+                    if k != "loss_td":
+                        logger.log_stat(k, v, runner.t_env)
+                if getattr(args, "test_gt_factors", False):
+                    key, k_diag = jax.random.split(key)
+                    last_sample = jax.tree.map(lambda x: x[-1], samples)
+                    diag = learner.gt_diagnostics(state, last_sample, k_diag)
+                    if diag:
+                        for k, v in diag.items():
+                            logger.log_stat(k, float(v), runner.t_env)
+                learner.log_stats_t = runner.t_env
+
+        # periodic greedy test runs (reference run.py:277-288)
+        n_test_runs = max(1, args.test_nepisode // runner.batch_size)
+        if (runner.t_env - last_test_T) / args.test_interval >= 1.0:
+            logger.console_logger.info("t_env: %s / %s", runner.t_env, args.t_max)
+            logger.console_logger.info(
+                "Estimated time left: %s. Time passed: %s",
+                time_left(last_time, last_test_T, runner.t_env, args.t_max),
+                time_str(time.time() - start_time),
+            )
+            last_time = time.time()
+            last_test_T = runner.t_env
+            for _ in range(n_test_runs):
+                key, k_test = jax.random.split(key)
+                runner.run(state.params["agent"], k_test, test_mode=True)
+
+        if args.save_model and (
+            runner.t_env - model_save_time >= args.save_model_interval
+            or model_save_time == 0
+            or runner.t_env > args.t_max
+        ):
+            model_save_time = runner.t_env
+            save_path = join(
+                args.local_results_path, "models", args.unique_token, str(runner.t_env)
+            )
+            logger.console_logger.info("Saving models to %s", save_path)
+            _save_checkpoint(save_path, state)
+
+        episode += args.batch_size_run
+
+        if (runner.t_env - last_log_T) >= args.log_interval:
+            logger.log_stat("episode", episode, runner.t_env)
+            logger.print_recent_stats()
+            last_log_T = runner.t_env
+
+    logger.console_logger.info("Finished Training")
+
+
+def _dummy_batch(mac, env_info) -> Dict[str, jnp.ndarray]:
+    """Minimal (1, 2, ...) batch used only to trace mixer init shapes."""
+    Ne, Na, A = env_info["n_entities"], env_info["n_agents"], env_info["n_actions"]
+    D = env_info["entity_shape"]
+    b = {
+        "entities": jnp.zeros((1, 2, Ne, D), jnp.float32),
+        "obs_mask": jnp.zeros((1, 2, Ne, Ne), bool),
+        "entity_mask": jnp.zeros((1, 2, Ne), bool),
+        "avail_actions": jnp.ones((1, 2, Na, A), bool),
+        "actions": jnp.zeros((1, 2, Na), jnp.int32),
+        "actions_onehot": jnp.zeros((1, 2, Na, A), jnp.float32),
+        "reward": jnp.zeros((1, 2, 1), jnp.float32),
+        "terminated": jnp.zeros((1, 2, 1), bool),
+        "filled": jnp.ones((1, 2, 1), bool),
+    }
+    if env_info.get("gt_mask_avail"):
+        b["gt_mask"] = jnp.zeros((1, 2, Na, Ne), bool)
+    return b
