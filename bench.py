@@ -89,7 +89,7 @@ def bench_ours(n_blocks: int = 30, batch_size_run: int = 8) -> float:
 
 
 # ----------------------------------------------------------------------
-def bench_reference_proxy(n_blocks: int = 3) -> float:
+def bench_reference_proxy(n_blocks: int = 6) -> float:
     """Reference-architecture proxy: sequential python envs + torch agent.
 
     Mirrors SURVEY §3.2/§3.3: per env step — python env.step per env, one

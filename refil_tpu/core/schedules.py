@@ -47,3 +47,11 @@ class DecayThenFlatSchedule:
                 self.start, jnp.maximum(self.finish, jnp.exp(-t / self.exp_scaling))
             )
         raise ValueError(f"Unknown decay {self.decay}")
+
+    def eval_host(self, t: float) -> float:
+        """Pure-python evaluation (no device round trip) for the host loop."""
+        if self.decay == "linear":
+            return max(self.finish, self.start - self.delta * t)
+        elif self.decay == "exp":
+            return min(self.start, max(self.finish, math.exp(-t / self.exp_scaling)))
+        raise ValueError(f"Unknown decay {self.decay}")

@@ -222,7 +222,7 @@ class VectorRunner:
         logs runner stats (reference ``parallel_runner.py:96-235``)."""
         if test_scen is None:
             test_scen = test_mode
-        self.epsilon = float(self.schedule.eval(self.t_env))
+        self.epsilon = self.schedule.eval_host(self.t_env)
         eps = 0.0 if test_mode else self.epsilon
         batch, stats = self._rollout(
             params,
@@ -233,9 +233,11 @@ class VectorRunner:
             index=index,
         )
 
-        ep_returns = np.asarray(stats["ep_returns"])
-        ep_lengths = np.asarray(stats["ep_lengths"])
-        final_info = {k: np.asarray(v) for k, v in stats["final_info"].items()}
+        # single fused device->host transfer (each sync costs a tunnel RTT)
+        stats = jax.device_get(stats)
+        ep_returns = stats["ep_returns"]
+        ep_lengths = stats["ep_lengths"]
+        final_info = stats["final_info"]
 
         if not test_mode:
             self.t_env += int(ep_lengths.sum())

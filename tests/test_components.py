@@ -9,18 +9,22 @@ from refil_tpu.core.schedules import DecayThenFlatSchedule
 
 
 def test_schedule_linear():
-    # reference epsilon_schedules.py semantics
+    # reference epsilon_schedules.py semantics (f32 on device)
     s = DecayThenFlatSchedule(1.0, 0.05, 5000, decay="linear")
     assert float(s.eval(0)) == 1.0
     np.testing.assert_allclose(float(s.eval(2500)), 0.525, atol=1e-6)
-    assert float(s.eval(5000)) == 0.05
-    assert float(s.eval(999999)) == 0.05
+    np.testing.assert_allclose(float(s.eval(5000)), 0.05, rtol=1e-6)
+    np.testing.assert_allclose(float(s.eval(999999)), 0.05, rtol=1e-6)
+    # host variant is exact python math
+    assert s.eval_host(0) == 1.0
+    assert s.eval_host(999999) == 0.05
 
 
 def test_schedule_exp():
     s = DecayThenFlatSchedule(1.0, 0.05, 1000, decay="exp")
     assert float(s.eval(0)) == 1.0
-    assert float(s.eval(10 ** 9)) == 0.05
+    np.testing.assert_allclose(float(s.eval(10 ** 9)), 0.05, rtol=1e-6)
+    assert s.eval_host(10 ** 9) == 0.05
 
 
 def _template(B=4, L=3):

@@ -175,22 +175,14 @@ def test_target_update_and_train_step():
     assert all(t_same)
     assert float(metrics["grad_norm"]) > 0
 
-    # force target update
+    # force target update: reference updates targets AFTER the optimizer step
+    # (q_learner.py:178-182), so target == post-step params
     state3, _ = learner.train(state2, batch, key, t_env=20, episode_num=500)
-    eq = jax.tree.leaves(
-        jax.tree.map(
-            lambda a, b: np.allclose(np.asarray(a), np.asarray(b), atol=1e-7),
-            state3.target_params,
-            state3.params,
-        )
-    )
-    # target was set to the params as of *before* this step's update; it must
-    # differ from p0 (it moved once) — check it equals state2.params
     eq2 = jax.tree.leaves(
         jax.tree.map(
             lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
             state3.target_params,
-            state2.params,
+            state3.params,
         )
     )
     assert all(eq2)
