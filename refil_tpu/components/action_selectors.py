@@ -52,7 +52,7 @@ def multinomial(
     masked = jnp.where(avail_actions, agent_probs, 0.0)
     if test_mode and test_greedy:
         return jnp.argmax(masked, axis=-1).astype(jnp.int32)
-    logits = jnp.log(jnp.clip(masked, a_min=1e-20))
+    logits = jnp.log(jnp.clip(masked, min=1e-20))
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

@@ -146,4 +146,87 @@ class EntityMAC:
         return q
 
 
-MAC_REGISTRY = {"entity_mac": EntityMAC}
+class BasicMAC:
+    """Flat-observation controller (reference ``basic_controller.py``).
+
+    Input building (``basic_controller.py:96-112``): obs ++ last-action onehot
+    (``obs_last_action``) ++ agent-id eye (``obs_agent_id``).
+    """
+
+    def __init__(self, args, env_info: Dict[str, Any]):
+        self.args = args
+        self.n_agents = env_info["n_agents"]
+        self.n_actions = env_info["n_actions"]
+        self.obs_shape = env_info["obs_shape"]
+        self.obs_last_action = bool(getattr(args, "obs_last_action", True))
+        self.obs_agent_id = bool(getattr(args, "obs_agent_id", True))
+        self.input_shape = (
+            self.obs_shape
+            + (self.n_actions if self.obs_last_action else 0)
+            + (self.n_agents if self.obs_agent_id else 0)
+        )
+        self.is_imagine = False
+        self.is_rnn = args.agent == "rnn"
+        agent_cls = AGENT_REGISTRY[args.agent]
+        self.agent = agent_cls(
+            rnn_hidden_dim=args.rnn_hidden_dim, n_actions=self.n_actions
+        )
+
+    def init_params(self, key: jax.Array):
+        inp = jnp.zeros((1, 2, self.n_agents, self.input_shape), jnp.float32)
+        return self.agent.init(key, inp, self.init_hidden(1))
+
+    def init_hidden(self, batch_size: int) -> jnp.ndarray:
+        return jnp.zeros(
+            (batch_size, self.n_agents, self.args.rnn_hidden_dim), jnp.float32
+        )
+
+    def _augment(self, obs: jnp.ndarray, last_oh: jnp.ndarray) -> jnp.ndarray:
+        """obs (B, T, Na, O); last_oh (B, T, Na, A)."""
+        B, T, Na, _ = obs.shape
+        parts = [obs]
+        if self.obs_last_action:
+            parts.append(last_oh.astype(obs.dtype))
+        if self.obs_agent_id:
+            eye = jnp.broadcast_to(
+                jnp.eye(Na, dtype=obs.dtype), (B, T, Na, Na)
+            )
+            parts.append(eye)
+        return jnp.concatenate(parts, axis=3)
+
+    def forward_step(self, params, obs, last_actions_onehot, hidden):
+        inp = self._augment(obs["obs"][:, None], last_actions_onehot[:, None])
+        q, h = self.agent.apply(params, inp, hidden)
+        return q[:, 0], h
+
+    def forward_episode(self, params, batch, **unused):
+        obs = batch["obs"]
+        ao = batch["actions_onehot"]
+        last = jnp.concatenate([jnp.zeros_like(ao[:, :1]), ao[:, :-1]], axis=1)
+        inp = self._augment(obs, last)
+        hidden = self.init_hidden(obs.shape[0])
+        q, _ = self.agent.apply(params, inp, hidden)
+        return q
+
+
+def pi_logits_transform(q, avail, epsilon, test_mode, mask_before_softmax=True):
+    """``agent_output_type: pi_logits`` post-processing
+    (reference ``basic_controller.py:43-62``): availability-masked softmax with
+    an epsilon floor over available actions during training."""
+    import jax.nn as jnn
+
+    if mask_before_softmax:
+        q = jnp.where(avail, q, -1e10)
+    probs = jnn.softmax(q, axis=-1)
+    if not test_mode:
+        if mask_before_softmax:
+            n_avail = avail.sum(axis=-1, keepdims=True).astype(probs.dtype)
+        else:
+            n_avail = jnp.asarray(q.shape[-1], probs.dtype)
+        probs = (1 - epsilon) * probs + epsilon / n_avail
+        if mask_before_softmax:
+            probs = jnp.where(avail, probs, 0.0)
+    return probs
+
+
+MAC_REGISTRY = {"entity_mac": EntityMAC, "basic_mac": BasicMAC}

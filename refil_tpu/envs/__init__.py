@@ -4,8 +4,7 @@ from . import group_matching  # noqa: F401  (registers "group_matching")
 
 # scenario registry for the entity-battle env (reference custom_scenarios.py);
 # populated when the combat env module is imported.
-try:
-    from .combat.scenarios import SCENARIO_REGISTRY
-    from . import combat  # noqa: F401  (registers "entity_battle")
-except ImportError:  # combat env not built yet
-    SCENARIO_REGISTRY = {}
+from .combat.scenarios import SCENARIO_REGISTRY
+from . import combat  # noqa: F401  (registers "entity_battle")
+from .combat import flat_env  # noqa: F401  (registers "flat_battle")
+from .combat.flat_env import MAP_REGISTRY

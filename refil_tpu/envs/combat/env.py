@@ -380,6 +380,14 @@ class EntityBattle:
     def step(
         self, state: CombatState, actions: jnp.ndarray, key: jax.Array
     ) -> Tuple[CombatState, Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict]:
+        new_state, reward, done, info = self.step_state(state, actions, key)
+        return new_state, self.observe(new_state), reward, done, info
+
+    def step_state(
+        self, state: CombatState, actions: jnp.ndarray, key: jax.Array
+    ) -> Tuple[CombatState, jnp.ndarray, jnp.ndarray, Dict]:
+        """Combat dynamics only (no observation build) — shared with the
+        flat-scheme wrapper env."""
         B = state.t.shape[0]
         Na, Ne = self.max_na, self.max_ne
         a_alive = (state.a_health > 0) & state.a_active
@@ -628,7 +636,7 @@ class EntityBattle:
             t=t,
         )
         info = {"battle_won": won, "episode_limit": at_limit}
-        return new_state, self.observe(new_state), reward, done, info
+        return new_state, reward, done, info
 
     # ------------------------------------------------------------------
     def observe(self, state: CombatState) -> Dict[str, jnp.ndarray]:

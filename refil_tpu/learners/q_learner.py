@@ -41,6 +41,7 @@ class QLearner:
         self.n_agents = env_info["n_agents"]
         self.is_imagine = "imagine" in args.agent
 
+        self.entity_scheme = bool(getattr(args, "entity_scheme", True))
         self.mixer = None
         mixer_name = getattr(args, "mixer", None)
         if mixer_name is not None:
@@ -57,6 +58,7 @@ class QLearner:
                     pooling_type=getattr(args, "pooling_type", None),
                 )
             elif mixer_name == "qmix":
+                state_masks = getattr(args, "state_masks", None)
                 self.mixer = MIXER_REGISTRY["qmix"](
                     n_agents=self.n_agents,
                     state_dim=int(env_info["state_shape"]),
@@ -64,6 +66,9 @@ class QLearner:
                     hypernet_layers=getattr(args, "hypernet_layers", 1),
                     hypernet_embed=getattr(args, "hypernet_embed", 64),
                     softmax_mixing_weights=bool(args.softmax_mixing_weights),
+                    state_masks=(
+                        jnp.asarray(state_masks) if state_masks is not None else None
+                    ),
                 )
             else:
                 raise ValueError(f"Mixer {mixer_name} not recognised.")
@@ -94,11 +99,15 @@ class QLearner:
         if self.mixer is not None and not isinstance(
             self.mixer, MIXER_REGISTRY["vdn"]
         ):
-            ents, om, em, gt = self.mac.build_episode_inputs(
-                jax.tree.map(lambda x: x[:1], sample_batch)
-            )
-            qs = jnp.zeros((1, ents.shape[1], self.n_agents), jnp.float32)
-            params["mixer"] = self.mixer.init(k_mixer, qs, ents, em)
+            sb = jax.tree.map(lambda x: x[:1], sample_batch)
+            if isinstance(self.mixer, MIXER_REGISTRY["qmix"]):
+                st = sb["state"]
+                qs = jnp.zeros((1, st.shape[1], self.n_agents), jnp.float32)
+                params["mixer"] = self.mixer.init(k_mixer, qs, st)
+            else:
+                ents, om, em, gt = self.mac.build_episode_inputs(sb)
+                qs = jnp.zeros((1, ents.shape[1], self.n_agents), jnp.float32)
+                params["mixer"] = self.mixer.init(k_mixer, qs, ents, em)
         elif self.mixer is not None:
             params["mixer"] = {}
         opt_state = self.tx.init(params)
@@ -156,6 +165,21 @@ class QLearner:
                 target_tot = target_max_qvals.sum(axis=2, keepdims=True)
                 if self.is_imagine:
                     caq_tot = caq_imagine.sum(axis=2, keepdims=True)
+            elif isinstance(self.mixer, MIXER_REGISTRY["qmix"]):
+                # flat scheme: mixer consumes the global state vector
+                # (reference q_learner.py:46-48)
+                st = batch["state"]
+                mix_args = (st[:, :-1],)
+                targ_args = (st[:, 1:],)
+                chosen_tot = self.mixer.apply(params["mixer"], chosen, *mix_args)
+                if self.is_imagine:
+                    g = tuple(gr[:, :-1] for gr in groups)
+                    caq_tot = self.mixer.apply(
+                        params["mixer"], caq_imagine, *mix_args, imagine_groups=g
+                    )
+                target_tot = self.mixer.apply(
+                    target_params["mixer"], target_max_qvals, *targ_args
+                )
             else:
                 # mixer entities include the last-action block exactly like the
                 # agent inputs (reference q_learner.py:45-64 == entity_controller)

@@ -249,8 +249,8 @@ class QMixer(nn.Module):
             gA = groupA.reshape(B * T, ne, 1).astype(st.dtype)
             gB = groupB.reshape(B * T, ne, 1).astype(st.dtype)
             sm = self.state_masks.reshape(1, ne, S).astype(st.dtype)
-            maskA = jnp.clip((gA * sm).sum(axis=1), a_max=1.0)
-            maskB = jnp.clip((gB * sm).sum(axis=1), a_max=1.0)
+            maskA = jnp.clip((gA * sm).sum(axis=1), max=1.0)
+            maskB = jnp.clip((gB * sm).sum(axis=1), max=1.0)
             w1 = jnp.concatenate([hyper_w_1(st * maskA), hyper_w_1(st * maskB)], axis=1)
             qs = agent_qs.reshape(B * T, 1, self.n_agents * 2)
         else:

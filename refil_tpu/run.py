@@ -131,12 +131,20 @@ def run_sequential(args, logger: Logger) -> None:
     args.entity_scheme = bool(args.env_args.get("entity_scheme", False))
 
     env = build_env(args)
-    env_info = env.env_info()
+    try:
+        env_info = env.env_info(args)  # flat envs attach obs/state masks
+    except TypeError:
+        env_info = env.env_info()
     args.n_agents = env_info["n_agents"]
     args.n_actions = env_info["n_actions"]
     args.n_entities = env_info.get("n_entities", args.n_agents)
     args.entity_shape = env_info.get("entity_shape")
     args.gt_mask_avail = env_info.get("gt_mask_avail", False)
+    if "masks" in env_info:
+        # per-entity masks over flat obs/state spaces (reference run.py:168-170)
+        args.obs_masks, args.state_masks = env_info["masks"]
+    if "state_shape" in env_info:
+        args.state_shape = env_info["state_shape"]
 
     key = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
     key, k_init = jax.random.split(key)
@@ -251,12 +259,8 @@ def run_sequential(args, logger: Logger) -> None:
 
 def _dummy_batch(mac, env_info) -> Dict[str, jnp.ndarray]:
     """Minimal (1, 2, ...) batch used only to trace mixer init shapes."""
-    Ne, Na, A = env_info["n_entities"], env_info["n_agents"], env_info["n_actions"]
-    D = env_info["entity_shape"]
+    Na, A = env_info["n_agents"], env_info["n_actions"]
     b = {
-        "entities": jnp.zeros((1, 2, Ne, D), jnp.float32),
-        "obs_mask": jnp.zeros((1, 2, Ne, Ne), bool),
-        "entity_mask": jnp.zeros((1, 2, Ne), bool),
         "avail_actions": jnp.ones((1, 2, Na, A), bool),
         "actions": jnp.zeros((1, 2, Na), jnp.int32),
         "actions_onehot": jnp.zeros((1, 2, Na, A), jnp.float32),
@@ -264,6 +268,14 @@ def _dummy_batch(mac, env_info) -> Dict[str, jnp.ndarray]:
         "terminated": jnp.zeros((1, 2, 1), bool),
         "filled": jnp.ones((1, 2, 1), bool),
     }
-    if env_info.get("gt_mask_avail"):
-        b["gt_mask"] = jnp.zeros((1, 2, Na, Ne), bool)
+    if "entity_shape" in env_info and env_info["entity_shape"] is not None:
+        Ne, D = env_info["n_entities"], env_info["entity_shape"]
+        b["entities"] = jnp.zeros((1, 2, Ne, D), jnp.float32)
+        b["obs_mask"] = jnp.zeros((1, 2, Ne, Ne), bool)
+        b["entity_mask"] = jnp.zeros((1, 2, Ne), bool)
+        if env_info.get("gt_mask_avail"):
+            b["gt_mask"] = jnp.zeros((1, 2, Na, Ne), bool)
+    else:
+        b["obs"] = jnp.zeros((1, 2, Na, env_info["obs_shape"]), jnp.float32)
+        b["state"] = jnp.zeros((1, 2, env_info["state_shape"]), jnp.float32)
     return b

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..components.action_selectors import epsilon_greedy
+from ..components.action_selectors import epsilon_greedy, multinomial
 from ..core.schedules import DecayThenFlatSchedule
 
 
@@ -100,11 +100,30 @@ class VectorRunner:
             for k in getattr(env, "final_info_keys", ("solved",))
         }
 
+        output_type = getattr(self.args, "agent_output_type", "q")
+        selector = getattr(self.args, "action_selector", "epsilon_greedy")
+        test_greedy = bool(getattr(self.args, "test_greedy", True))
+
+        def select(k, q, avail):
+            if output_type == "pi_logits":
+                from ..controllers.mac import pi_logits_transform
+
+                probs = pi_logits_transform(
+                    q, avail, epsilon, test,
+                    mask_before_softmax=bool(
+                        getattr(self.args, "mask_before_softmax", True)
+                    ),
+                )
+                return multinomial(k, probs, avail, test_greedy, test)
+            if selector == "multinomial":
+                return multinomial(k, q, avail, test_greedy, test)
+            return epsilon_greedy(k, q, avail, epsilon)
+
         def step_fn(carry, kt):
             state, obs, hidden, alive, last_oh, ep_ret, ep_len, final_info = carry
             k_act, k_env = jax.random.split(kt)
             q, hidden_new = mac.forward_step(params, obs, last_oh, hidden)
-            actions = epsilon_greedy(k_act, q, obs["avail_actions"], epsilon)
+            actions = select(k_act, q, obs["avail_actions"])
             n_state, n_obs, rew, done, info = env.step(state, actions, k_env)
             env_term = done & ~info["episode_limit"]
 
@@ -189,19 +208,16 @@ class VectorRunner:
             jax.nn.one_hot(actions, self.n_actions, dtype=jnp.float32)
             * written_t[:, :, None, None]
         )
-        batch = {
-            "entities": obs_seq["entities"],
-            "obs_mask": obs_seq["obs_mask"],
-            "entity_mask": obs_seq["entity_mask"],
-            "avail_actions": obs_seq["avail_actions"],
-            "actions": actions,
-            "actions_onehot": actions_onehot,
-            "reward": reward,
-            "terminated": terminated,
-            "filled": filled,
-        }
-        if "gt_mask" in obs_seq:
-            batch["gt_mask"] = obs_seq["gt_mask"]
+        # all per-step observation fields verbatim (entity scheme: entities/
+        # obs_mask/entity_mask[/gt_mask]; flat scheme: obs/state) + transitions
+        batch = dict(obs_seq)
+        batch.update(
+            actions=actions,
+            actions_onehot=actions_onehot,
+            reward=reward,
+            terminated=terminated,
+            filled=filled,
+        )
         stats = {
             "ep_returns": ep_ret,
             "ep_lengths": ep_len,

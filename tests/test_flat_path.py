@@ -1,0 +1,147 @@
+"""Flat-scheme path: FlatBattle env + BasicMAC + QMixer end-to-end.
+
+Reference surface: ``starcraft2.py`` obs/state layouts, ``basic_controller.py``
+input building, ``qmix.py`` mixing incl. state_masks imagined splitting.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refil_tpu.config import Args
+from refil_tpu.controllers.mac import MAC_REGISTRY
+from refil_tpu.envs.combat.flat_env import FlatBattle, MAP_REGISTRY
+from refil_tpu.learners.q_learner import QLearner
+from refil_tpu.run import _dummy_batch
+from refil_tpu.runners.vector_runner import VectorRunner
+
+
+def _args(**over):
+    base = dict(
+        agent="rnn",
+        mac="basic_mac",
+        mixer="qmix",
+        entity_scheme=False,
+        obs_last_action=True,
+        obs_agent_id=True,
+        rnn_hidden_dim=16,
+        hypernet_layers=2,
+        hypernet_embed=16,
+        mixing_embed_dim=8,
+        softmax_mixing_weights=False,
+        double_q=True,
+        gamma=0.99,
+        lr=5e-4,
+        optim_alpha=0.99,
+        optim_eps=1e-5,
+        grad_norm_clip=10,
+        weight_decay=0,
+        batch_size_run=3,
+        epsilon_start=1.0,
+        epsilon_finish=0.05,
+        epsilon_anneal_time=100,
+        test_nepisode=3,
+        runner_log_interval=10,
+        target_update_interval=200,
+        learner_log_interval=100,
+        agent_output_type="q",
+        action_selector="epsilon_greedy",
+        test_greedy=True,
+    )
+    base.update(over)
+    return Args(**base)
+
+
+def test_obs_state_sizes_match_layout():
+    env = FlatBattle(map_name="2s3z", episode_limit=10)
+    info = env.env_info()
+    # 2s3z: 5v5, types {Stalker, Zealot} -> 2 type bits, shields
+    assert info["n_agents"] == 5 and env.n_enemies == 5
+    assert info["n_actions"] == 6 + 5
+    nf_en = 4 + 1 + 1 + 2  # base4 + health + shield + type bits
+    nf_al = nf_en
+    assert info["obs_shape"] == 4 + 5 * nf_en + 4 * nf_al + (1 + 1 + 2)
+    nf_al_s = 4 + 1 + 2
+    nf_en_s = 3 + 1 + 2
+    assert info["state_shape"] == 5 * nf_al_s + 5 * nf_en_s + 5 * 11
+
+    state, obs = env.reset(jax.random.PRNGKey(0), 2)
+    assert obs["obs"].shape == (2, 5, info["obs_shape"])
+    assert obs["state"].shape == (2, info["state_shape"])
+    assert np.isfinite(np.asarray(obs["obs"])).all()
+
+
+def test_obs_st_masks_cover_vectors():
+    env = FlatBattle(map_name="3m", episode_limit=10)
+    args = _args()
+    obs_masks, state_masks = env.get_obs_st_masks(args)
+    Na, Ne = 3, 3
+    obs_size = env.get_obs_size() + env.n_actions + Na  # + ctrl-added blocks
+    assert obs_masks.shape == (Na + Ne, Na, obs_size)
+    assert state_masks.shape == (Na + Ne, env.get_state_size())
+    # every state element belongs to some entity except none (timestep off)
+    assert (state_masks.sum(0) >= 1 - 1e-6).all()
+    # own-agent rows mark move/own/last-action blocks
+    assert obs_masks[0, 0, :4].all()
+
+
+def test_flat_end_to_end_train():
+    env = FlatBattle(map_name="3m", episode_limit=8)
+    args = _args()
+    info = env.env_info(args)
+    args.n_agents = info["n_agents"]
+    args.n_actions = info["n_actions"]
+    args.state_shape = info["state_shape"]
+    args.obs_masks, args.state_masks = info["masks"]
+    mac = MAC_REGISTRY["basic_mac"](args, info)
+    key = jax.random.PRNGKey(0)
+    learner = QLearner(mac, args, info, key)
+    state = learner.init_state(key, _dummy_batch(mac, info))
+    runner = VectorRunner(env, mac, args, logger=None)
+    batch = runner.run(state.params["agent"], key)
+    assert batch["obs"].shape[1] == 9  # T+1
+    assert batch["state"].shape == (3, 9, info["state_shape"])
+    big = jax.tree.map(lambda x: jnp.concatenate([x] * 11, 0)[:32], batch)
+    state2, metrics = learner.train(state, big, key, 0, 0)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(
+            jax.tree.leaves(jax.tree.map(np.asarray, state2.params)),
+            jax.tree.leaves(state2.target_params),
+        )
+    )
+    assert moved
+
+
+def test_map_registry_compositions():
+    for name, (ally, enemy, limit) in MAP_REGISTRY.items():
+        env = FlatBattle(map_name=name)
+        assert env.n_agents == sum(n for n, _ in ally), name
+        assert env.n_enemies == sum(n for n, _ in enemy), name
+        assert env.episode_limit == limit
+
+
+def test_pi_logits_multinomial_rollout():
+    env = FlatBattle(map_name="3m", episode_limit=6)
+    args = _args(
+        agent_output_type="pi_logits",
+        action_selector="multinomial",
+        mask_before_softmax=True,
+    )
+    info = env.env_info()
+    args.n_agents = info["n_agents"]
+    args.n_actions = info["n_actions"]
+    mac = MAC_REGISTRY["basic_mac"](args, info)
+    key = jax.random.PRNGKey(0)
+    params = mac.init_params(key)
+    runner = VectorRunner(env, mac, args, logger=None)
+    batch = runner.run(params, key)
+    acts = np.asarray(batch["actions"])
+    avail = np.asarray(batch["avail_actions"])
+    filled = np.asarray(batch["filled"][..., 0])
+    # every selected action was available at selection time
+    for b in range(acts.shape[0]):
+        for t in range(acts.shape[1] - 1):
+            if filled[b, t + 1]:
+                for i in range(acts.shape[2]):
+                    assert avail[b, t, i, acts[b, t, i]], (b, t, i)
