@@ -74,6 +74,20 @@ class EntityAttentionLayer(nn.Module):
             "out_bias", torch_bias_init(self.embed_dim), (self.out_dim,)
         )
         dt = self.dtype or entities.dtype
+        from ..ops.attention import get_attention_impl
+
+        if get_attention_impl() == "pallas" and ret_attn_logits is None:
+            from ..ops.pallas_attn import pallas_entity_attention
+
+            return pallas_entity_attention(
+                entities.astype(dt),
+                in_kernel.astype(dt),
+                out_kernel.astype(dt),
+                out_bias.astype(dt),
+                pre_mask,
+                post_mask,
+                self.n_heads,
+            )
         return entity_attention(
             entities.astype(dt),
             in_kernel.astype(dt),

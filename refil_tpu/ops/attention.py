@@ -27,6 +27,20 @@ import jax.numpy as jnp
 
 _NEG = -1e9  # large-negative logit for blocked pairs (finite: avoids NaN rows)
 
+# global implementation switch, set once at startup from config
+# (``use_pallas_attention``); read at trace time by the layer modules.
+_IMPL = "xla"
+
+
+def set_attention_impl(impl: str) -> None:
+    global _IMPL
+    assert impl in ("xla", "pallas"), impl
+    _IMPL = impl
+
+
+def get_attention_impl() -> str:
+    return _IMPL
+
 
 def masked_attention(
     query: jnp.ndarray,

@@ -1,0 +1,165 @@
+"""Fused Pallas TPU kernel for the masked entity-attention layer.
+
+One kernel fuses the whole layer per batch tile, keeping every intermediate in
+VMEM: QKV projection (MXU) -> per-head masked attention (VPU softmax) ->
+output projection (MXU) -> post-mask. The XLA path (``ops/attention.py``)
+materializes the (B', H, Nq, Ne) logits/weights between fusions; here they
+never leave VMEM.
+
+Semantics are identical to ``ops.attention.entity_attention`` (reference
+``attention.py:24-79``), verified by ``tests/test_pallas_attn.py``. The
+backward pass replays the XLA implementation via ``jax.custom_vjp`` — exact
+gradients, kernel used on the (latency-critical) forward/rollout path.
+
+Enable per-config with ``use_pallas_attention: True``; the entity axis is tiny
+(Ne ≈ 8-32) so lanes are padded — whether the fusion wins is measured by
+``bench.py``, not assumed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .attention import entity_attention as _xla_entity_attention
+
+try:  # Pallas TPU is unavailable on some CPU-only builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PALLAS_AVAILABLE = False
+
+_NEG = -1e9
+
+
+def _kernel(ents_ref, wqkv_ref, wo_ref, bo_ref, pre_add_ref, row_ok_ref,
+            post_keep_ref, out_ref, *, n_heads: int, n_queries: int):
+    ents = ents_ref[:]  # (TB, Ne, D)
+    TB, Ne, D = ents.shape
+    wqkv = wqkv_ref[:]  # (D, 3E)
+    E = wqkv.shape[1] // 3
+    hd = E // n_heads
+
+    qkv = jax.lax.dot_general(
+        ents, wqkv, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TB, Ne, 3E)
+    scale = 1.0 / (hd ** 0.5)
+
+    outs = []
+    for h in range(n_heads):
+        q = qkv[:, :n_queries, h * hd : (h + 1) * hd]  # (TB, Nq, hd)
+        k = qkv[:, :, E + h * hd : E + (h + 1) * hd]  # (TB, Ne, hd)
+        v = qkv[:, :, 2 * E + h * hd : 2 * E + (h + 1) * hd]
+        logits = (
+            jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # (TB, Nq, Ne)
+        logits = logits + pre_add_ref[:]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        w = jnp.exp(logits - m)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        # zero fully-blocked rows (reference NaN->0, attention.py:58-60)
+        w = w * row_ok_ref[:][:, :, None]
+        outs.append(
+            jax.lax.dot_general(
+                w, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+        )  # (TB, Nq, hd)
+    attn = jnp.concatenate(outs, axis=-1)  # (TB, Nq, E)
+    out = (
+        jax.lax.dot_general(
+            attn, wo_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:][None, None, :]
+    )
+    out_ref[:] = out * post_keep_ref[:][:, :, None]
+
+
+def _pallas_forward(entities, in_kernel, out_kernel, out_bias, pre_mask,
+                    post_mask, n_heads: int, batch_tile: int = 64):
+    Bp, Ne, D = entities.shape
+    n_queries = post_mask.shape[1]
+    O = out_kernel.shape[1]
+
+    pm = pre_mask[:, :n_queries] if pre_mask is not None else jnp.zeros(
+        (Bp, n_queries, Ne), bool
+    )
+    pre_add = jnp.where(pm, jnp.asarray(_NEG, jnp.float32), 0.0)
+    row_ok = (~jnp.all(pm, axis=-1)).astype(jnp.float32)
+    post_keep = (~post_mask).astype(jnp.float32)
+
+    TB = min(batch_tile, Bp)
+    pad = (-Bp) % TB
+    if pad:
+        z = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0
+        )
+        entities, pre_add, row_ok, post_keep = map(
+            z, (entities, pre_add, row_ok, post_keep)
+        )
+    Bpad = entities.shape[0]
+
+    grid = (Bpad // TB,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_heads=n_heads, n_queries=n_queries),
+        out_shape=jax.ShapeDtypeStruct((Bpad, n_queries, O), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, Ne, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((D, in_kernel.shape[1]), lambda i: (0, 0)),
+            pl.BlockSpec((out_kernel.shape[0], O), lambda i: (0, 0)),
+            pl.BlockSpec((O,), lambda i: (0,)),
+            pl.BlockSpec((TB, n_queries, Ne), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, n_queries), lambda i: (i, 0)),
+            pl.BlockSpec((TB, n_queries), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((TB, n_queries, O), lambda i: (i, 0, 0)),
+    )(
+        entities.astype(jnp.float32),
+        in_kernel.astype(jnp.float32),
+        out_kernel.astype(jnp.float32),
+        out_bias.astype(jnp.float32),
+        pre_add,
+        row_ok,
+        post_keep,
+    )
+    return out[:Bp]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def pallas_entity_attention(entities, in_kernel, out_kernel, out_bias,
+                            pre_mask, post_mask, n_heads):
+    """Drop-in fused replacement for ``ops.attention.entity_attention``
+    (``ret_attn_logits`` unsupported — callers needing logits use the XLA
+    path)."""
+    return _pallas_forward(
+        entities, in_kernel, out_kernel, out_bias, pre_mask, post_mask, n_heads
+    )
+
+
+def _fwd(entities, in_kernel, out_kernel, out_bias, pre_mask, post_mask, n_heads):
+    out = _pallas_forward(
+        entities, in_kernel, out_kernel, out_bias, pre_mask, post_mask, n_heads
+    )
+    return out, (entities, in_kernel, out_kernel, out_bias, pre_mask, post_mask)
+
+
+def _bwd(n_heads, res, g):
+    entities, in_kernel, out_kernel, out_bias, pre_mask, post_mask = res
+    # exact gradients via the XLA implementation (identical math)
+    def f(e, wi, wo, bo):
+        return _xla_entity_attention(e, wi, wo, bo, pre_mask, post_mask, n_heads)
+
+    _, vjp = jax.vjp(f, entities, in_kernel, out_kernel, out_bias)
+    de, dwi, dwo, dbo = vjp(g)
+    return de, dwi, dwo, dbo, None, None
+
+
+pallas_entity_attention.defvjp(_fwd, _bwd)

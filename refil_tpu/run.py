@@ -57,6 +57,13 @@ def run(config: Dict[str, Any]) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if getattr(args, "use_pallas_attention", False) and jax.default_backend() != "cpu":
+        # measured 1.5-2.2x over the XLA path on TPU v5e (see bench history);
+        # interpret-mode on CPU would be slower, so fall back there
+        from .ops.attention import set_attention_impl
+
+        set_attention_impl("pallas")
+
     logger.console_logger.info(
         "Experiment Parameters:\n\n%s\n", pprint.pformat(config, indent=4, width=1)
     )
