@@ -639,6 +639,24 @@ class EntityBattle:
         return new_state, reward, done, info
 
     # ------------------------------------------------------------------
+    def render_state(self, state: CombatState) -> Dict[str, jnp.ndarray]:
+        """Compact per-step snapshot for host-side rendering (render.py)."""
+        B = state.t.shape[0]
+        types = jnp.concatenate([state.a_type, state.e_type], axis=1)
+        return {
+            "pos": jnp.concatenate([state.a_pos, state.e_pos], axis=1),
+            "health": jnp.concatenate([state.a_health, state.e_health], axis=1),
+            "shield": jnp.concatenate([state.a_shield, state.e_shield], axis=1),
+            "health_max": self.health_max[types],
+            "shield_max": self.shield_max[types],
+            "type": types,
+            "active": jnp.concatenate([state.a_active, state.e_active], axis=1),
+            "is_ally": jnp.broadcast_to(
+                jnp.arange(self.max_na + self.max_ne) < self.max_na,
+                (B, self.max_na + self.max_ne),
+            ),
+        }
+
     def observe(self, state: CombatState) -> Dict[str, jnp.ndarray]:
         B = state.t.shape[0]
         Na, Ne = self.max_na, self.max_ne

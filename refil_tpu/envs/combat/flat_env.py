@@ -231,6 +231,13 @@ class FlatBattle:
         ent = jnp.where(is_medivac, ent_heal, ent_attack)
         return jnp.where(actions >= 6, ent, actions)
 
+    def render_state(self, state: FlatState):
+        return self.core.render_state(state.core)
+
+    @property
+    def map_size(self):
+        return self.core.map_size
+
     def step(self, state: FlatState, actions: jnp.ndarray, key):
         ent_actions = self._to_entity_actions(actions.astype(jnp.int32), state.core)
         core, reward, done, info = self.core.step_state(state.core, ent_actions, key)

@@ -31,6 +31,7 @@ from .envs import ENV_REGISTRY, SCENARIO_REGISTRY
 from .learners.q_learner import QLearner, TrainState
 from .runners.vector_runner import VectorRunner
 from .utils.logging import Logger, get_logger
+from .utils.profiling import PhaseTimer
 from .utils.timehelper import time_left, time_str
 
 
@@ -114,16 +115,40 @@ def evaluate_sequential(args, runner: VectorRunner, learner: QLearner,
         n_scen = 1
     n_test_batches = max(1, args.test_nepisode // runner.batch_size)
 
+    can_render = hasattr(runner.env, "render_state")
+    want_record = bool(args.video_path or args.save_replay) and can_render
+
     for i in range(n_scen):
-        for _ in range(n_test_batches):
+        for bi in range(n_test_batches):
             key, k = jax.random.split(key)
             runner.run(state.params["agent"], k, test_mode=True, test_scen=True,
-                       index=i if args.eval_all_scen else None)
+                       index=i if args.eval_all_scen else None,
+                       record=want_record and bi == 0 and i == 0)
         curr_stats = {k: v[-1][1] for k, v in logger.stats.items()}
         if args.eval_all_scen:
             res_dict[runner.env.scenario_names[i]] = curr_stats
         else:
             res_dict.update(curr_stats)
+
+    if want_record and runner.last_recording is not None:
+        from .envs.combat import render as crender
+
+        if args.video_path:
+            path = args.video_path
+            if not path.endswith(".mp4"):
+                path += ".mp4"
+            os.makedirs(dirname(abspath(path)) or ".", exist_ok=True)
+            frames = crender.frames_for_env(
+                runner.last_recording, 0, runner.env.map_size
+            )
+            written = crender.save_video(path, frames, fps=args.fps)
+            logger.console_logger.info("Saved eval video to %s", written)
+        if args.save_replay:
+            rpath = join(args.local_results_path, "replays",
+                         args.unique_token + ".npz")
+            os.makedirs(dirname(abspath(rpath)), exist_ok=True)
+            crender.save_replay(rpath, runner.last_recording)
+            logger.console_logger.info("Saved replay to %s", rpath)
 
     if args.eval_path:
         path = args.eval_path if args.eval_path.endswith(".json") else args.eval_path + ".json"
@@ -194,22 +219,25 @@ def run_sequential(args, logger: Logger) -> None:
     model_save_time = 0
     start_time = time.time()
     last_time = start_time
+    timer = PhaseTimer()
 
     logger.console_logger.info("Beginning training for %s timesteps", args.t_max)
 
     while runner.t_env <= args.t_max:
         key, k_roll = jax.random.split(key)
-        episode_batch = runner.run(state.params["agent"], k_roll, test_mode=False)
+        with timer.phase("rollout"):
+            episode_batch = runner.run(state.params["agent"], k_roll, test_mode=False)
         if buffer is None:
             buffer = ReplayBuffer(episode_batch, args.buffer_size, seed=args.seed)
         buffer.insert_episode_batch(episode_batch)
 
         if buffer.can_sample(args.batch_size):
             key, k_train = jax.random.split(key)
-            samples = buffer.sample_many(args.training_iters, args.batch_size)
-            state, metrics = learner.train_iters(
-                state, samples, k_train, runner.t_env, episode
-            )
+            with timer.phase("train"):
+                samples = buffer.sample_many(args.training_iters, args.batch_size)
+                state, metrics = learner.train_iters(
+                    state, samples, k_train, runner.t_env, episode
+                )
             if (
                 metrics is not None
                 and runner.t_env - learner.log_stats_t >= args.learner_log_interval
@@ -218,6 +246,8 @@ def run_sequential(args, logger: Logger) -> None:
                 for k, v in host_metrics.items():
                     if k != "loss_td":
                         logger.log_stat(k, v, runner.t_env)
+                for k, v in timer.stats().items():
+                    logger.log_stat(k, v, runner.t_env)
                 if getattr(args, "test_gt_factors", False):
                     key, k_diag = jax.random.split(key)
                     last_sample = jax.tree.map(lambda x: x[-1], samples)

@@ -73,8 +73,10 @@ class VectorRunner:
         self.test_returns: list = []
         self.log_train_stats_t = -1000000
         self._rollout = jax.jit(
-            self._rollout_impl, static_argnames=("batch_size", "test", "index")
+            self._rollout_impl,
+            static_argnames=("batch_size", "test", "index", "record"),
         )
+        self.last_recording = None  # render-state trajectory from record=True runs
 
     # ------------------------------------------------------------------
     def _rollout_impl(
@@ -85,6 +87,7 @@ class VectorRunner:
         batch_size: int,
         test: bool = False,
         index: Optional[int] = None,
+        record: bool = False,
     ):
         env, mac = self.env, self.mac
         B, T = batch_size, self.episode_limit
@@ -151,6 +154,8 @@ class VectorRunner:
                 "filled_next": alive,
                 "obs_next": {k: _mask_like(alive, v) for k, v in obs_next.items()},
             }
+            if record:
+                out["render"] = env.render_state(state_next)
             alive_next = alive & ~done
             return (
                 state_next,
@@ -223,6 +228,8 @@ class VectorRunner:
             "ep_lengths": ep_len,
             "final_info": final_info,
         }
+        if record:
+            stats["render"] = outs["render"]  # (T, B, ...) pytree
         return batch, stats
 
     # ------------------------------------------------------------------
@@ -233,6 +240,7 @@ class VectorRunner:
         test_mode: bool = False,
         test_scen: Optional[bool] = None,
         index: Optional[int] = None,
+        record: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Run one episode block; returns the device-resident episode batch and
         logs runner stats (reference ``parallel_runner.py:96-235``)."""
@@ -247,10 +255,17 @@ class VectorRunner:
             batch_size=self.batch_size,
             test=bool(test_scen),
             index=index,
+            record=bool(record),
         )
 
         # single fused device->host transfer (each sync costs a tunnel RTT)
         stats = jax.device_get(stats)
+        if record:
+            rec = stats.pop("render")
+            T = jax.tree.leaves(rec)[0].shape[0]
+            self.last_recording = [
+                {k: v[t] for k, v in rec.items()} for t in range(T)
+            ]
         ep_returns = stats["ep_returns"]
         ep_lengths = stats["ep_lengths"]
         final_info = stats["final_info"]
