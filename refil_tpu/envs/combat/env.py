@@ -214,10 +214,14 @@ class EntityBattle:
     ) -> Tuple[CombatState, Dict[str, jnp.ndarray]]:
         B = batch_size
         k_scen, k_theta, k_jit_a, k_jit_e, k_tag_a, k_tag_e = jax.random.split(key, 6)
+        rand_scen = jax.random.randint(k_scen, (B,), 0, self.sc.n_scenarios)
         if index is None:
-            scen = jax.random.randint(k_scen, (B,), 0, self.sc.n_scenarios)
+            scen = rand_scen
         else:
-            scen = jnp.full((B,), int(index), jnp.int32)
+            # traced index (>=0 selects a fixed scenario; <0 keeps sampling) so
+            # per-scenario evaluation shares one compiled rollout
+            idx = jnp.asarray(index, jnp.int32)
+            scen = jnp.where(idx >= 0, jnp.broadcast_to(idx, (B,)), rand_scen)
 
         a_type = self.sc_j["ally_types"][scen]
         a_active = self.sc_j["ally_active"][scen]
@@ -639,6 +643,61 @@ class EntityBattle:
         return new_state, reward, done, info
 
     # ------------------------------------------------------------------
+    def heuristic_actions(self, state: CombatState) -> jnp.ndarray:
+        """Scripted ally policy (stand-in for the reference ``heuristic_ai``,
+        ``get_agent_action_heuristic:781-877``): attackers target the nearest
+        living enemy (attack if its tag-action is available, else move toward
+        it); Medivacs heal the nearest damaged non-Medivac ally."""
+        B = state.t.shape[0]
+        Na, Ne = self.max_na, self.max_ne
+        a_alive = (state.a_health > 0) & state.a_active
+        e_alive = (state.e_health > 0) & state.e_active
+        is_med = self.is_medivac_t[state.a_type]
+
+        d_ae = jnp.linalg.norm(
+            state.a_pos[:, :, None] - state.e_pos[:, None, :], axis=-1
+        )
+        d_ae = jnp.where(e_alive[:, None, :], d_ae, _FAR)
+        tgt_e = jnp.argmin(d_ae, axis=2)  # (B, Na)
+        tgt_e_dist = jnp.min(d_ae, axis=2)
+        tgt_e_tag = jnp.take_along_axis(state.e_tags, tgt_e, axis=1)
+        attack_act = 6 + tgt_e_tag
+
+        # medivac: nearest damaged, living, non-medivac ally
+        d_aa = jnp.linalg.norm(
+            state.a_pos[:, :, None] - state.a_pos[:, None, :], axis=-1
+        )
+        damaged = (
+            a_alive
+            & (state.a_health < self.health_max[state.a_type])
+            & (~self.is_medivac_t[state.a_type])
+        )
+        d_heal = jnp.where(damaged[:, None, :], d_aa, _FAR)
+        tgt_a = jnp.argmin(d_heal, axis=2)
+        tgt_a_dist = jnp.min(d_heal, axis=2)
+        tgt_a_tag = jnp.take_along_axis(state.a_tags, tgt_a, axis=1)
+        heal_act = 6 + tgt_a_tag  # ally tags already live in the heal range
+
+        want = jnp.where(is_med, heal_act, attack_act)
+        has_target = jnp.where(is_med, tgt_a_dist < _FAR, tgt_e_dist < _FAR)
+        # move toward the target when attacking/healing is not available
+        # (avail gating happens in the runner: unavailable -> chase via the
+        # attack action is invalid, so fall back to a cardinal move)
+        tgt_pos = jnp.where(
+            is_med[..., None],
+            jnp.take_along_axis(state.a_pos, tgt_a[..., None], axis=1),
+            jnp.take_along_axis(state.e_pos, tgt_e[..., None], axis=1),
+        )
+        delta = tgt_pos - state.a_pos
+        ew = jnp.where(delta[..., 0] > 0, 4, 5)  # east/west
+        ns = jnp.where(delta[..., 1] > 0, 2, 3)  # north/south
+        move_act = jnp.where(jnp.abs(delta[..., 0]) > jnp.abs(delta[..., 1]), ew, ns)
+
+        in_range = jnp.where(is_med, tgt_a_dist, tgt_e_dist) <= self.shoot_range
+        act = jnp.where(in_range, want, move_act)
+        act = jnp.where(has_target, act, 1)  # stop if nothing to do
+        return jnp.where(a_alive, act, 0).astype(jnp.int32)
+
     def render_state(self, state: CombatState) -> Dict[str, jnp.ndarray]:
         """Compact per-step snapshot for host-side rendering (render.py)."""
         B = state.t.shape[0]

@@ -72,9 +72,12 @@ class VectorRunner:
         self.train_returns: list = []
         self.test_returns: list = []
         self.log_train_stats_t = -1000000
+        # `index` is traced (scenario id as data) so per-scenario eval does not
+        # recompile; batch_size/test/record change program structure and stay
+        # static
         self._rollout = jax.jit(
             self._rollout_impl,
-            static_argnames=("batch_size", "test", "index", "record"),
+            static_argnames=("batch_size", "test", "record"),
         )
         self.last_recording = None  # render-state trajectory from record=True runs
 
@@ -84,9 +87,9 @@ class VectorRunner:
         params,
         key: jax.Array,
         epsilon: jnp.ndarray,
+        index: jnp.ndarray,
         batch_size: int,
         test: bool = False,
-        index: Optional[int] = None,
         record: bool = False,
     ):
         env, mac = self.env, self.mac
@@ -122,11 +125,21 @@ class VectorRunner:
                 return multinomial(k, q, avail, test_greedy, test)
             return epsilon_greedy(k, q, avail, epsilon)
 
+        heuristic = bool(getattr(self.args, "heuristic_ai", False)) and hasattr(
+            env, "heuristic_actions"
+        )
+
         def step_fn(carry, kt):
             state, obs, hidden, alive, last_oh, ep_ret, ep_len, final_info = carry
             k_act, k_env = jax.random.split(kt)
             q, hidden_new = mac.forward_step(params, obs, last_oh, hidden)
-            actions = select(k_act, q, obs["avail_actions"])
+            if heuristic:
+                # scripted ally policy (reference heuristic_ai)
+                actions = env.heuristic_actions(
+                    state.core if hasattr(state, "core") else state
+                )
+            else:
+                actions = select(k_act, q, obs["avail_actions"])
             n_state, n_obs, rew, done, info = env.step(state, actions, k_env)
             env_term = done & ~info["episode_limit"]
 
@@ -252,9 +265,9 @@ class VectorRunner:
             params,
             key,
             jnp.asarray(eps, jnp.float32),
+            jnp.asarray(-1 if index is None else int(index), jnp.int32),
             batch_size=self.batch_size,
             test=bool(test_scen),
-            index=index,
             record=bool(record),
         )
 
