@@ -38,8 +38,16 @@ class EntityMAC:
         self.is_imagine = "imagine" in args.agent
         self.is_rnn = args.agent.endswith("rnn")
 
+        import jax.numpy as _jnp
+
+        compute_dtype = (
+            _jnp.bfloat16
+            if getattr(args, "compute_dtype", "float32") == "bfloat16"
+            else None
+        )
         agent_cls = AGENT_REGISTRY[args.agent]
         self.agent = agent_cls(
+            dtype=compute_dtype,
             attn_embed_dim=args.attn_embed_dim,
             rnn_hidden_dim=args.rnn_hidden_dim,
             n_actions=self.n_actions,

@@ -56,6 +56,11 @@ class QLearner:
                     attn_n_heads=args.attn_n_heads,
                     softmax_mixing_weights=bool(args.softmax_mixing_weights),
                     pooling_type=getattr(args, "pooling_type", None),
+                    dtype=(
+                        jnp.bfloat16
+                        if getattr(args, "compute_dtype", "float32") == "bfloat16"
+                        else None
+                    ),
                 )
             elif mixer_name == "qmix":
                 state_masks = getattr(args, "state_masks", None)

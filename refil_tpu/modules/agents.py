@@ -81,6 +81,8 @@ class EntityAttentionFFAgent(nn.Module):
 
     def _base_forward(self, entities, obs_mask, entity_mask, hidden, ret_attn_logits=None):
         B, T, Ne, D = entities.shape
+        if self.dtype is not None:
+            entities = entities.astype(self.dtype)
         x = entities.reshape(B * T, Ne, D)
         pre_mask = obs_mask.reshape(B * T, obs_mask.shape[2], Ne)
         em = entity_mask.reshape(B * T, Ne)
@@ -100,7 +102,7 @@ class EntityAttentionFFAgent(nn.Module):
         # zero Q of inactive agents (reference entity_ff_agent.py:52-53)
         q = jnp.where(
             agent_mask.reshape(B, T, self.n_agents, 1), jnp.zeros((), q.dtype), q
-        )
+        ).astype(jnp.float32)
         if ret_attn_logits is not None:
             return q, hidden, attn_logits.reshape(B, T, self.n_agents, Ne)
         return q, hidden
@@ -145,6 +147,8 @@ class EntityAttentionRNNAgent(nn.Module):
 
     def _base_forward(self, entities, obs_mask, entity_mask, hidden, ret_attn_logits=None):
         B, T, Ne, D = entities.shape
+        if self.dtype is not None:
+            entities = entities.astype(self.dtype)
         x = entities.reshape(B * T, Ne, D)
         pre_mask = obs_mask.reshape(B * T, obs_mask.shape[2], Ne)
         em = entity_mask.reshape(B * T, Ne)
@@ -171,7 +175,7 @@ class EntityAttentionRNNAgent(nn.Module):
         # zero Q of inactive agents (reference entity_rnn_agent.py:59-60)
         q = jnp.where(
             agent_mask.reshape(B, T, self.n_agents, 1), jnp.zeros((), q.dtype), q
-        )
+        ).astype(jnp.float32)
         h_out = h_last.reshape(B, self.n_agents, self.rnn_hidden_dim)
         if ret_attn_logits is not None:
             return q, h_out, attn_logits.reshape(B, T, self.n_agents, Ne)

@@ -100,6 +100,9 @@ class FlexQMixer(nn.Module):
 
     def __call__(self, agent_qs, entities, entity_mask, imagine_groups=None):
         B, T, Ne, D = entities.shape
+        if self.dtype is not None:
+            entities = entities.astype(self.dtype)
+            agent_qs = agent_qs.astype(self.dtype)
         ents = entities.reshape(B * T, Ne, D)
         em = entity_mask.reshape(B * T, Ne)
         E = self.mixing_embed_dim
@@ -130,7 +133,7 @@ class FlexQMixer(nn.Module):
         v = self.V(ents, em).reshape(B * T, 1, 1)
 
         y = jnp.einsum("bqe,be->bq", hidden, w_final)[..., None] + v
-        return y.reshape(B, T, 1)
+        return y.reshape(B, T, 1).astype(jnp.float32)
 
 
 class LinearFlexQMixer(nn.Module):
@@ -166,6 +169,9 @@ class LinearFlexQMixer(nn.Module):
         ret_ingroup_prop=False,
     ):
         B, T, Ne, D = entities.shape
+        if self.dtype is not None:
+            entities = entities.astype(self.dtype)
+            agent_qs = agent_qs.astype(self.dtype)
         ents = entities.reshape(B * T, Ne, D)
         em = entity_mask.reshape(B * T, Ne)
 
@@ -189,7 +195,7 @@ class LinearFlexQMixer(nn.Module):
         v = self.V(ents, em)  # (B',)
 
         q_tot = (qs * w1).sum(axis=1) + v
-        q_tot = q_tot.reshape(B, T, 1)
+        q_tot = q_tot.reshape(B, T, 1).astype(jnp.float32)
         if ret_ingroup_prop:
             # diagnostic: mean share of mixing weight on in-group Qs
             # (reference flex_qmix.py:167-171)

@@ -72,7 +72,11 @@ def masked_attention(
     k = key.reshape(B, Ne, n_heads, hd).transpose(0, 2, 1, 3)  # (B,H,Ne,hd)
     v = value.reshape(B, Ne, n_heads, hd).transpose(0, 2, 1, 3)  # (B,H,Ne,hd)
 
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale  # (B,H,Nq,Ne)
+    # f32 accumulation on the MXU even under bf16 activations
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * scale.astype(jnp.float32)
+    )  # (B,H,Nq,Ne)
 
     if pre_mask is not None:
         m = pre_mask[:, None, :, :]  # broadcast over heads
@@ -85,7 +89,10 @@ def masked_attention(
     else:
         weights = jax.nn.softmax(logits, axis=-1)
 
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)  # (B,H,Nq,hd)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(query.dtype)  # (B,H,Nq,hd)
     out = out.transpose(0, 2, 1, 3).reshape(B, Nq, E)
     return out, (logits if ret_logits else None)
 
