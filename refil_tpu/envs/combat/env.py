@@ -55,6 +55,8 @@ class CombatState(NamedTuple):
     e_tags: jnp.ndarray  # (B, Ne) in [0, n_tags_e)
     e_slot_of_tag: jnp.ndarray  # (B, n_tags_e) int32
     a_slot_of_tag: jnp.ndarray  # (B, n_tags_a) int32
+    a_last_hit: jnp.ndarray  # (B, Na) step index of last damage taken
+    e_last_hit: jnp.ndarray
     attack_point: jnp.ndarray  # (B, 2)
     prev_a_hp: jnp.ndarray  # health+shield snapshot for reward deltas
     prev_e_hp: jnp.ndarray
@@ -304,6 +306,8 @@ class EntityBattle:
             e_tags=e_tags,
             e_slot_of_tag=e_slot_of_tag,
             a_slot_of_tag=a_slot_of_tag,
+            a_last_hit=jnp.full((B, self.max_na), -1000, jnp.int32),
+            e_last_hit=jnp.full((B, self.max_ne), -1000, jnp.int32),
             attack_point=attack_point,
             prev_a_hp=a_health + a_shield,
             prev_e_hp=e_health + e_shield,
@@ -552,6 +556,29 @@ class EntityBattle:
         a_cd = jnp.where(a_fires, self.cooldown_frames[state.a_type], a_cd)
         e_cd = jnp.where(e_fires, self.cooldown_frames[state.e_type], e_cd)
 
+        # Protoss shield regeneration: ~2/s after 10s without taking damage
+        # (the game mechanic that makes enemy hp deltas go negative — the
+        # reason the reference wraps the reward in abs() for
+        # reward_only_positive, reward_battle:929-930)
+        a_hit_now = dmg_on_a > 0
+        e_hit_now = dmg_on_e > 0
+        a_last_hit = jnp.where(a_hit_now, state.t[:, None] + 1, state.a_last_hit)
+        e_last_hit = jnp.where(e_hit_now, state.t[:, None] + 1, state.e_last_hit)
+        regen_delay = int(10.0 * U.GAME_FPS / self.step_mul)  # ~10s in env steps
+        regen_amt = 2.0 * self.step_mul / U.GAME_FPS
+        a_can_regen = (
+            ((state.t[:, None] + 1) - a_last_hit) >= regen_delay
+        ) & (a_health_new > 0)
+        e_can_regen = (
+            ((state.t[:, None] + 1) - e_last_hit) >= regen_delay
+        ) & (e_health_new > 0)
+        a_shield_new = jnp.minimum(
+            a_shield_new + regen_amt * a_can_regen, self.shield_max[state.a_type]
+        )
+        e_shield_new = jnp.minimum(
+            e_shield_new + regen_amt * e_can_regen, self.shield_max[state.e_type]
+        )
+
         # kill shields of dead units (features are zeroed anyway)
         e_shield_new = jnp.where(e_health_new > 0, e_shield_new, 0.0)
         a_shield_new = jnp.where(a_health_new > 0, a_shield_new, 0.0)
@@ -632,6 +659,8 @@ class EntityBattle:
             e_tags=state.e_tags,
             e_slot_of_tag=state.e_slot_of_tag,
             a_slot_of_tag=state.a_slot_of_tag,
+            a_last_hit=a_last_hit,
+            e_last_hit=e_last_hit,
             attack_point=state.attack_point,
             prev_a_hp=hp_a,
             prev_e_hp=hp_e,

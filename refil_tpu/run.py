@@ -84,15 +84,18 @@ def run(config: Dict[str, Any]) -> None:
 
 def _save_checkpoint(path: str, state: TrainState) -> None:
     os.makedirs(path, exist_ok=True)
-    with open(join(path, "state.msgpack"), "wb") as f:
-        f.write(
-            flax.serialization.msgpack_serialize(
-                flax.serialization.to_state_dict(
-                    {"params": state.params, "target": state.target_params,
-                     "opt": state.opt_state}
-                )
-            )
+    payload = flax.serialization.msgpack_serialize(
+        flax.serialization.to_state_dict(
+            {"params": state.params, "target": state.target_params,
+             "opt": state.opt_state}
         )
+    )
+    # atomic write: a crash/device-wedge mid-save must not leave a truncated
+    # checkpoint that a later resume would try to load
+    tmp = join(path, "state.msgpack.tmp")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, join(path, "state.msgpack"))
 
 
 def _load_checkpoint(path: str, state: TrainState) -> TrainState:
@@ -195,11 +198,16 @@ def run_sequential(args, logger: Logger) -> None:
                 "Checkpoint directory %s doesn't exist", args.checkpoint_path
             )
             return
-        timesteps = [
-            int(name)
-            for name in os.listdir(args.checkpoint_path)
-            if os.path.isdir(join(args.checkpoint_path, name)) and name.isdigit()
-        ]
+        def _valid(name):
+            p = join(args.checkpoint_path, name, "state.msgpack")
+            return (
+                os.path.isdir(join(args.checkpoint_path, name))
+                and name.isdigit()
+                and os.path.isfile(p)
+                and os.path.getsize(p) > 0
+            )
+
+        timesteps = [int(n) for n in os.listdir(args.checkpoint_path) if _valid(n)]
         if args.load_step == 0:
             timestep_to_load = max(timesteps)
         else:
