@@ -153,21 +153,23 @@ class QLearner:
             chosen = gather(mac_out[:, :-1], actions)
             groups = None
 
-        target_q = mac.forward_episode(target_params["agent"], batch)[:, 1:]
-        target_q = jnp.where(avail[:, 1:], target_q, _NEG)
+        # target values over ALL L slots; slot 0 is only consumed by the
+        # optional TD(lambda) path
+        target_q = mac.forward_episode(target_params["agent"], batch)
+        target_q = jnp.where(avail, target_q, _NEG)
 
         if args.double_q:
             live_det = jax.lax.stop_gradient(mac_out)
             live_det = jnp.where(avail, live_det, _NEG)
-            cur_max_actions = jnp.argmax(live_det[:, 1:], axis=3)
-            target_max_qvals = gather(target_q, cur_max_actions)  # (B, T, Na)
+            cur_max_actions = jnp.argmax(live_det, axis=3)
+            target_max_qvals = gather(target_q, cur_max_actions)  # (B, L, Na)
         else:
             target_max_qvals = target_q.max(axis=3)
 
         if self.mixer is not None:
             if isinstance(self.mixer, MIXER_REGISTRY["vdn"]):
                 chosen_tot = chosen.sum(axis=2, keepdims=True)
-                target_tot = target_max_qvals.sum(axis=2, keepdims=True)
+                target_tot_full = target_max_qvals.sum(axis=2, keepdims=True)
                 if self.is_imagine:
                     caq_tot = caq_imagine.sum(axis=2, keepdims=True)
             elif isinstance(self.mixer, MIXER_REGISTRY["qmix"]):
@@ -175,22 +177,20 @@ class QLearner:
                 # (reference q_learner.py:46-48)
                 st = batch["state"]
                 mix_args = (st[:, :-1],)
-                targ_args = (st[:, 1:],)
                 chosen_tot = self.mixer.apply(params["mixer"], chosen, *mix_args)
                 if self.is_imagine:
                     g = tuple(gr[:, :-1] for gr in groups)
                     caq_tot = self.mixer.apply(
                         params["mixer"], caq_imagine, *mix_args, imagine_groups=g
                     )
-                target_tot = self.mixer.apply(
-                    target_params["mixer"], target_max_qvals, *targ_args
+                target_tot_full = self.mixer.apply(
+                    target_params["mixer"], target_max_qvals, st
                 )
             else:
                 # mixer entities include the last-action block exactly like the
                 # agent inputs (reference q_learner.py:45-64 == entity_controller)
                 m_ents, _, m_em, _ = mac.build_episode_inputs(batch)
                 mix_args = (m_ents[:, :-1], m_em[:, :-1])
-                targ_args = (m_ents[:, 1:], m_em[:, 1:])
                 chosen_tot = self.mixer.apply(
                     params["mixer"], chosen, *mix_args
                 )
@@ -199,14 +199,25 @@ class QLearner:
                     caq_tot = self.mixer.apply(
                         params["mixer"], caq_imagine, *mix_args, imagine_groups=g
                     )
-                target_tot = self.mixer.apply(
-                    target_params["mixer"], target_max_qvals, *targ_args
+                target_tot_full = self.mixer.apply(
+                    target_params["mixer"], target_max_qvals, m_ents, m_em
                 )
         else:
-            chosen_tot, target_tot = chosen, target_max_qvals
+            chosen_tot, target_tot_full = chosen, target_max_qvals
             caq_tot = caq_imagine if self.is_imagine else None
 
-        targets = rewards + args.gamma * (1.0 - terminated) * target_tot
+        td_lambda = getattr(args, "td_lambda", None)
+        if td_lambda is not None:
+            # n-step TD(lambda) targets over the whole episode (new capability;
+            # the reference learner is strictly 1-step, q_learner.py:157)
+            from ..utils.rl_utils import build_td_lambda_targets
+
+            targets = build_td_lambda_targets(
+                rewards, terminated, mask, target_tot_full, args.gamma, td_lambda
+            )
+        else:
+            # 1-step TD target (reference q_learner.py:157)
+            targets = rewards + args.gamma * (1.0 - terminated) * target_tot_full[:, 1:]
         targets = jax.lax.stop_gradient(targets)
         td_error = chosen_tot - targets
         masked_td = td_error * mask

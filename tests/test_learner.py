@@ -201,3 +201,20 @@ def test_rmsprop_matches_torch_semantics():
     sq_avg = 0.01 * gn ** 2
     expected = -0.1 * gn / (np.sqrt(sq_avg) + 1e-5)
     np.testing.assert_allclose(np.asarray(up["w"]), expected, rtol=1e-5)
+
+
+def test_td_lambda_zero_equals_one_step_loss():
+    """TD(λ=0) must reproduce the 1-step TD loss on fully-filled batches."""
+    args1 = _args()
+    args2 = _args(td_lambda=0.0)
+    info = _env_info()
+    key = jax.random.PRNGKey(0)
+    batch = _batch(jax.random.PRNGKey(1))
+    mac1 = EntityMAC(args1, info)
+    l1 = QLearner(mac1, args1, info, key)
+    s1 = l1.init_state(key, batch)
+    loss1, _ = l1._loss(s1.params, s1.target_params, batch, key)
+    mac2 = EntityMAC(args2, info)
+    l2 = QLearner(mac2, args2, info, key)
+    loss2, _ = l2._loss(s1.params, s1.target_params, batch, key)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
