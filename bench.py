@@ -25,12 +25,11 @@ import numpy as np
 
 
 # ----------------------------------------------------------------------
-def bench_ours(n_blocks: int = 30, batch_size_run: int = 8) -> float:
+def _build(batch_size_run: int):
     import jax
 
     from refil_tpu.config import args_sanity_check, config_to_args, load_config
     from refil_tpu.controllers.mac import MAC_REGISTRY
-    from refil_tpu.core.buffer import ReplayBuffer
     from refil_tpu.envs.group_matching import GroupMatching
     from refil_tpu.learners.q_learner import QLearner
     from refil_tpu.run import _dummy_batch
@@ -57,6 +56,40 @@ def bench_ours(n_blocks: int = 30, batch_size_run: int = 8) -> float:
     learner = QLearner(mac, args, info, key)
     state = learner.init_state(key, _dummy_batch(mac, info))
     runner = VectorRunner(env, mac, args, logger=None)
+    return args, runner, learner, state, key
+
+
+def bench_ours(n_blocks: int = 30, batch_size_run: int = 8) -> float:
+    """Fused pipeline: all n_blocks episode blocks run in ONE dispatch
+    (lax.scan over the donated rollout+insert+sample+train block)."""
+    import jax
+
+    from refil_tpu.core.pipeline import FusedPipeline
+
+    args, runner, learner, state, key = _build(batch_size_run)
+    pipe = FusedPipeline(runner, learner, args.buffer_size, args)
+    ps = pipe.init_state(state, key)
+    for _ in range(pipe.warmup_blocks()):
+        ps, _ = pipe.block(ps, train=False)
+    # compile + warm the scanned program
+    ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
+    ps = jax.block_until_ready(ps)
+
+    t_env0 = int(ps.t_env)
+    t0 = time.perf_counter()
+    ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
+    ps = jax.block_until_ready(ps)
+    dt = time.perf_counter() - t0
+    return (int(ps.t_env) - t_env0) / dt
+
+
+def bench_ours_classic(n_blocks: int = 30, batch_size_run: int = 8) -> float:
+    """Classic orchestration: one dispatch per stage, host in the loop."""
+    import jax
+
+    from refil_tpu.core.buffer import ReplayBuffer
+
+    args, runner, learner, state, key = _build(batch_size_run)
     buffer = None
 
     def block(state, key, episode):
@@ -200,7 +233,8 @@ def main():
     # default env batch 512: same algorithm/config, TPU-native env batching
     # (the framework's design point; 8 reproduces the reference's env count)
     batch_size_run = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    ours = bench_ours(batch_size_run=batch_size_run)
+    # the proxy runs FIRST: once JAX's (tunneled TPU) runtime is up, its
+    # threads contend with torch on the host CPU and skew the baseline low
     if "--no-proxy" in sys.argv:
         # reference-proxy baseline measured separately (CPU-bound, stable):
         # sequential python envs + torch agent + 8 train iters — see
@@ -212,6 +246,8 @@ def main():
         except Exception as e:  # torch unavailable etc.
             print(f"reference proxy failed: {e}", file=sys.stderr)
             ref = None
+    fn = bench_ours_classic if "--classic" in sys.argv else bench_ours
+    ours = fn(batch_size_run=batch_size_run)
     vs = (ours / ref) if ref else None
     print(
         f"[bench] ours={ours:.1f} env-steps/s, reference-proxy={ref and round(ref, 1)}",

@@ -231,6 +231,18 @@ def run_sequential(args, logger: Logger) -> None:
 
     logger.console_logger.info("Beginning training for %s timesteps", args.t_max)
 
+    # fused on-device pipeline (one dispatch per episode block) unless a
+    # host-side hook needs the sampled batches (gt diagnostics) or the user
+    # opts out
+    use_fused = bool(getattr(args, "use_fused_pipeline", True)) and not bool(
+        getattr(args, "test_gt_factors", False)
+    )
+    if use_fused:
+        _run_fused_loop(args, runner, learner, state, logger, key, timer,
+                        start_time)
+        logger.console_logger.info("Finished Training")
+        return
+
     while runner.t_env <= args.t_max:
         key, k_roll = jax.random.split(key)
         with timer.phase("rollout"):
@@ -300,6 +312,82 @@ def run_sequential(args, logger: Logger) -> None:
             last_log_T = runner.t_env
 
     logger.console_logger.info("Finished Training")
+
+
+def _run_fused_loop(args, runner, learner, state, logger, key, timer,
+                    start_time) -> None:
+    """Training loop over the fused on-device pipeline: one dispatch per
+    episode block (rollout + insert + sample + train iters + target sync in a
+    single donated jit, ``core/pipeline.py``). Host code is reduced to stats
+    bookkeeping and the periodic test/save/log cadence of reference
+    ``run.py:258-308``."""
+    from .core.pipeline import FusedPipeline
+
+    pipeline = FusedPipeline(runner, learner, args.buffer_size, args)
+    key, k_pipe = jax.random.split(key)
+    ps = pipeline.init_state(state, k_pipe, t_env=runner.t_env)
+    warm = pipeline.warmup_blocks()
+
+    episode = 0
+    blocks_done = 0
+    last_test_T = -args.test_interval - 1
+    last_log_T = 0
+    model_save_time = 0
+    last_time = start_time
+
+    while runner.t_env <= args.t_max:
+        with timer.phase("block"):
+            ps, stats = pipeline.block(ps, train=blocks_done >= warm)
+            stats = jax.device_get(stats)
+        blocks_done += 1
+        episode += args.batch_size_run
+        runner.t_env = int(stats["t_env"])
+        runner.epsilon = float(stats["epsilon"])
+        runner.account_block(stats, test_mode=False)
+
+        metrics = stats.get("metrics")
+        if (
+            metrics is not None
+            and runner.t_env - learner.log_stats_t >= args.learner_log_interval
+        ):
+            for k, v in metrics.items():
+                if k != "loss_td":
+                    logger.log_stat(k, float(v), runner.t_env)
+            for k, v in timer.stats().items():
+                logger.log_stat(k, v, runner.t_env)
+            learner.log_stats_t = runner.t_env
+
+        # periodic greedy test runs (reference run.py:277-288)
+        n_test_runs = max(1, args.test_nepisode // runner.batch_size)
+        if (runner.t_env - last_test_T) / args.test_interval >= 1.0:
+            logger.console_logger.info("t_env: %s / %s", runner.t_env, args.t_max)
+            logger.console_logger.info(
+                "Estimated time left: %s. Time passed: %s",
+                time_left(last_time, last_test_T, runner.t_env, args.t_max),
+                time_str(time.time() - start_time),
+            )
+            last_time = time.time()
+            last_test_T = runner.t_env
+            for _ in range(n_test_runs):
+                key, k_test = jax.random.split(key)
+                runner.run(ps.train.params["agent"], k_test, test_mode=True)
+
+        if args.save_model and (
+            runner.t_env - model_save_time >= args.save_model_interval
+            or model_save_time == 0
+            or runner.t_env > args.t_max
+        ):
+            model_save_time = runner.t_env
+            save_path = join(
+                args.local_results_path, "models", args.unique_token, str(runner.t_env)
+            )
+            logger.console_logger.info("Saving models to %s", save_path)
+            _save_checkpoint(save_path, ps.train)
+
+        if (runner.t_env - last_log_T) >= args.log_interval:
+            logger.log_stat("episode", episode, runner.t_env)
+            logger.print_recent_stats()
+            last_log_T = runner.t_env
 
 
 def _dummy_batch(mac, env_info) -> Dict[str, jnp.ndarray]:

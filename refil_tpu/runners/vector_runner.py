@@ -279,12 +279,19 @@ class VectorRunner:
             self.last_recording = [
                 {k: v[t] for k, v in rec.items()} for t in range(T)
             ]
+        if not test_mode:
+            self.t_env += int(stats["ep_lengths"].sum())
+        self.account_block(stats, test_mode=test_mode)
+        return batch
+
+    def account_block(self, stats, test_mode: bool = False) -> None:
+        """Fold one episode block's host-side stats into the runner's
+        accumulators and trigger cadenced logging (the bookkeeping half of
+        reference ``parallel_runner.py:203-235``). ``stats`` must already be
+        on host; ``self.t_env`` must already be current."""
         ep_returns = stats["ep_returns"]
         ep_lengths = stats["ep_lengths"]
         final_info = stats["final_info"]
-
-        if not test_mode:
-            self.t_env += int(ep_lengths.sum())
 
         cur_stats = self.test_stats if test_mode else self.train_stats
         cur_returns = self.test_returns if test_mode else self.train_returns
@@ -308,7 +315,6 @@ class VectorRunner:
                 self._log(cur_returns, cur_stats, log_prefix)
                 self.logger.log_stat("epsilon", self.epsilon, self.t_env)
                 self.log_train_stats_t = self.t_env
-        return batch
 
     def _log(self, returns, stats, prefix):
         self.logger.log_stat(prefix + "return_mean", float(np.mean(returns)), self.t_env)

@@ -1,0 +1,171 @@
+"""Fused on-device pipeline: one-dispatch episode blocks must reproduce the
+classic orchestration's semantics (insert/sample/train/target cadence)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refil_tpu.config import args_sanity_check, config_to_args, load_config
+from refil_tpu.controllers.mac import MAC_REGISTRY
+from refil_tpu.core.pipeline import FusedPipeline
+from refil_tpu.envs.group_matching import GroupMatching
+from refil_tpu.learners.q_learner import QLearner
+from refil_tpu.run import _dummy_batch
+from refil_tpu.runners.vector_runner import VectorRunner
+
+
+def _setup(batch_size_run=4, batch_size=4, buffer_size=16, training_iters=2,
+           target_update_interval=8):
+    cfg = load_config(alg="refil_group_matching", env="group_matching")
+    cfg["env_args"].update(n_agents=3, n_states=4, episode_limit=5)
+    cfg.update(
+        batch_size_run=batch_size_run,
+        batch_size=batch_size,
+        buffer_size=buffer_size,
+        training_iters=training_iters,
+        target_update_interval=target_update_interval,
+        attn_embed_dim=8,
+        attn_n_heads=2,
+        hypernet_embed=8,
+        mixing_embed_dim=8,
+    )
+    args = config_to_args(args_sanity_check(cfg))
+    args.entity_scheme = True
+    env = GroupMatching(**cfg["env_args"])
+    info = env.env_info()
+    args.n_agents = info["n_agents"]
+    args.n_actions = info["n_actions"]
+    args.n_entities = info["n_entities"]
+    args.entity_shape = info["entity_shape"]
+    args.gt_mask_avail = info["gt_mask_avail"]
+    mac = MAC_REGISTRY["entity_mac"](args, info)
+    key = jax.random.PRNGKey(0)
+    learner = QLearner(mac, args, info, key)
+    state = learner.init_state(key, _dummy_batch(mac, info))
+    runner = VectorRunner(env, mac, args, logger=None)
+    pipe = FusedPipeline(runner, learner, args.buffer_size, args)
+    return pipe, runner, learner, state, args
+
+
+def test_warmup_block_matches_standalone_rollout():
+    pipe, runner, learner, state, args = _setup()
+    key = jax.random.PRNGKey(7)
+    # the pipeline derives its rollout key as split(key, 4)[1] and epsilon
+    # from the pre-block t_env; reproduce both and compare buffer contents
+    # (standalone rollout runs FIRST: pipe.block donates the state buffers)
+    k_roll = jax.random.split(key, 4)[1]
+    eps = jnp.float32(runner.schedule.eval_host(0))
+    batch, roll_stats = runner._rollout(
+        state.params["agent"],
+        k_roll, eps, jnp.int32(-1), batch_size=args.batch_size_run, test=False,
+    )
+    batch = jax.device_get(batch)
+    ps = pipe.init_state(state, key)
+    ps2, stats = pipe.block(ps, train=False)
+    B = args.batch_size_run
+    for k in batch:
+        np.testing.assert_array_equal(
+            np.asarray(ps2.buffer[k][:B]), np.asarray(batch[k]), err_msg=k
+        )
+    assert int(ps2.episodes_in_buffer) == B
+    assert int(ps2.buffer_index) == B % pipe.buffer_size
+    assert int(ps2.t_env) == int(np.asarray(roll_stats["ep_lengths"]).sum())
+    assert int(stats["t_env"]) == int(ps2.t_env)
+
+
+def test_train_block_updates_params_and_counts():
+    pipe, runner, learner, state, args = _setup()
+    ps = pipe.init_state(state, jax.random.PRNGKey(1))
+    ps, _ = pipe.block(ps, train=False)
+    params_before = jax.tree.map(np.asarray, ps.train.params)
+    ps, stats = pipe.block(ps, train=True)
+    stats = jax.device_get(stats)
+    assert np.isfinite(stats["metrics"]["loss"])
+    moved = any(
+        np.abs(np.asarray(a) - b).max() > 0
+        for a, b in zip(jax.tree.leaves(ps.train.params), jax.tree.leaves(params_before))
+    )
+    assert moved
+    # t_env accumulates across blocks
+    assert int(ps.t_env) == int(stats["t_env"])
+    assert int(ps.episode) == 2 * args.batch_size_run
+
+
+def test_target_sync_cadence():
+    pipe, runner, learner, state, args = _setup(target_update_interval=8)
+    ps = pipe.init_state(state, jax.random.PRNGKey(2))
+    ps, _ = pipe.block(ps, train=False)  # episode -> 4
+    ps, _ = pipe.block(ps, train=True)  # pre-inc episode 4 < 8: no sync
+    differs = any(
+        np.abs(np.asarray(p) - np.asarray(t)).max() > 0
+        for p, t in zip(
+            jax.tree.leaves(ps.train.params), jax.tree.leaves(ps.train.target_params)
+        )
+    )
+    assert differs, "targets must lag behind params before the sync cadence"
+    ps, _ = pipe.block(ps, train=True)  # pre-inc episode 8 >= 8: sync THEN the
+    # sync applies post-update params of this block
+    for p, t in zip(
+        jax.tree.leaves(ps.train.params), jax.tree.leaves(ps.train.target_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(t))
+    assert int(ps.last_target_episode) == 8
+
+
+def test_run_blocks_scan_matches_sequential_blocks():
+    pipe, runner, learner, state, args = _setup()
+    key = jax.random.PRNGKey(3)
+    ps_a = pipe.init_state(state, key)
+    ps_a, _ = pipe.block(ps_a, train=False)
+    ps_b = jax.tree.map(jnp.copy, ps_a)
+
+    for _ in range(3):
+        ps_a, _ = pipe.block(ps_a, train=True)
+    ps_b, stats = pipe.run_blocks(ps_b, 3, train=True)
+    stats = jax.device_get(stats)
+    assert stats["ep_returns"].shape == (3, args.batch_size_run)
+    assert int(ps_a.t_env) == int(ps_b.t_env)
+    for a, b in zip(jax.tree.leaves(ps_a.train.params), jax.tree.leaves(ps_b.train.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_pipeline_runs_on_mesh():
+    """Fused block under an 8-device data mesh: buffer sharded on the episode
+    axis, params replicated, grads psum'd by XLA from the annotations."""
+    from refil_tpu.parallel.mesh import MeshContext
+
+    mesh = MeshContext({"data": 8})
+    _pipe, runner, learner, state, args = _setup(
+        batch_size_run=8, batch_size=8, buffer_size=16
+    )
+    from refil_tpu.core.pipeline import FusedPipeline
+
+    pipe = FusedPipeline(runner, learner, args.buffer_size, args, mesh=mesh)
+    ps = pipe.init_state(state, jax.random.PRNGKey(4))
+    assert ps.buffer["entities"].sharding.is_equivalent_to(
+        mesh.batch_sharding, ps.buffer["entities"].ndim
+    )
+    ps, _ = pipe.block(ps, train=False)
+    params_before = jax.tree.map(np.asarray, ps.train.params)
+    ps, stats = pipe.block(ps, train=True)
+    stats = jax.device_get(stats)
+    assert np.isfinite(stats["metrics"]["loss"])
+    moved = any(
+        np.abs(np.asarray(a) - b).max() > 0
+        for a, b in zip(jax.tree.leaves(ps.train.params), jax.tree.leaves(params_before))
+    )
+    assert moved
+    # state sharding is preserved block-to-block (no silent re-layout)
+    assert ps.buffer["entities"].sharding.is_equivalent_to(
+        mesh.batch_sharding, ps.buffer["entities"].ndim
+    )
+
+
+def test_sampling_only_hits_filled_slots():
+    pipe, runner, learner, state, args = _setup(buffer_size=32)
+    eib = jnp.int32(args.batch_size)  # exactly batch_size filled
+    idx = pipe._sample_idx(jax.random.PRNGKey(9), eib)
+    assert idx.shape == (args.training_iters, args.batch_size)
+    assert (np.asarray(idx) < int(eib)).all()
+    # without replacement within each iteration
+    for row in np.asarray(idx):
+        assert len(set(row.tolist())) == len(row)
