@@ -17,6 +17,10 @@ import yaml
 
 _CONFIG_DIR = os.path.dirname(os.path.abspath(__file__))
 
+# reference env-config names (src/config/envs/{sc2custom,sc2}.yaml) map onto
+# the stand-in battle envs, so reference invocations work verbatim
+ENV_CONFIG_ALIASES = {"sc2custom": "entity_battle", "sc2": "flat_battle"}
+
 
 def recursive_dict_update(d: Dict, u: Dict) -> Dict:
     """Deep-merge ``u`` into ``d`` (reference ``src/main.py:65-71``)."""
@@ -66,6 +70,7 @@ def load_config(
     """
     config = _load_yaml(os.path.join(config_dir, "default.yaml"))
     if env is not None:
+        env = ENV_CONFIG_ALIASES.get(env, env)
         env_cfg = _load_yaml(os.path.join(config_dir, "envs", f"{env}.yaml"))
         config = recursive_dict_update(config, env_cfg)
     if alg is not None:

@@ -8,3 +8,8 @@ from .combat.scenarios import SCENARIO_REGISTRY
 from . import combat  # noqa: F401  (registers "entity_battle")
 from .combat import flat_env  # noqa: F401  (registers "flat_battle")
 from .combat.flat_env import MAP_REGISTRY
+
+# reference env names resolve to the stand-in battle envs
+# (src/envs/__init__.py registers "sc2custom" / "sc2")
+ENV_REGISTRY.setdefault("sc2custom", ENV_REGISTRY["entity_battle"])
+ENV_REGISTRY.setdefault("sc2", ENV_REGISTRY["flat_battle"])
