@@ -65,6 +65,7 @@ MAP_REGISTRY: Dict[str, Tuple[list, list, int]] = {
         180,
     ),
     "2m_vs_1z": ([(2, "Marine")], [(1, "Zealot")], 150),
+    "2s_vs_1sc": ([(2, "Stalker")], [(1, "SpineCrawler")], 300),
     "3s_vs_3z": ([(3, "Stalker")], [(3, "Zealot")], 150),
     "3s_vs_4z": ([(3, "Stalker")], [(4, "Zealot")], 200),
     "3s_vs_5z": ([(3, "Stalker")], [(5, "Zealot")], 250),
@@ -98,6 +99,8 @@ class FlatBattle:
         state_last_action: bool = True,
         state_timestep_number: bool = False,
         obs_timestep_number: bool = False,
+        obs_pathing_grid: bool = False,
+        obs_terrain_height: bool = False,
         sight_range: float = 9.0,
         **combat_kwargs,
     ):
@@ -130,6 +133,15 @@ class FlatBattle:
         self.state_last_action = state_last_action
         self.state_timestep_number = state_timestep_number
         self.obs_timestep_number = obs_timestep_number
+        # surrounding pathing/height blocks (reference starcraft2.py:836-850,
+        # n_obs_pathing=8 / n_obs_height=9 at :218-219). The stand-in map is
+        # empty and flat: every surrounding point is pathable (1) and the
+        # terrain height is a uniform constant.
+        self.obs_pathing_grid = obs_pathing_grid
+        self.obs_terrain_height = obs_terrain_height
+        self.n_obs_pathing = 8
+        self.n_obs_height = 9
+        self.terrain_height_value = 0.5
 
         self.unit_type_bits = self.core.unit_type_bits
         self.shield_bits_ally = self.core.shield_bits
@@ -168,9 +180,19 @@ class FlatBattle:
             nf += 1
         return nf
 
+    @property
+    def move_feats_len(self) -> int:
+        """Move block length incl. pathing/height (reference :874-878)."""
+        n = 4
+        if self.obs_pathing_grid:
+            n += self.n_obs_pathing
+        if self.obs_terrain_height:
+            n += self.n_obs_height
+        return n
+
     def get_obs_size(self) -> int:
         return (
-            4
+            self.move_feats_len
             + self.n_enemies * self.nf_en_obs
             + (self.n_agents - 1) * self.nf_al_obs
             + self.nf_own
@@ -349,6 +371,23 @@ class FlatBattle:
 
         # ---- move + own ----
         move_feats = avail[:, :, 2:6].astype(jnp.float32)
+        if self.obs_pathing_grid:  # all-passable stand-in map: ones
+            move_feats = jnp.concatenate(
+                [move_feats, jnp.ones((B, Na, self.n_obs_pathing), jnp.float32)],
+                -1,
+            )
+        if self.obs_terrain_height:  # flat stand-in map: uniform height
+            move_feats = jnp.concatenate(
+                [
+                    move_feats,
+                    jnp.full(
+                        (B, Na, self.n_obs_height),
+                        self.terrain_height_value,
+                        jnp.float32,
+                    ),
+                ],
+                -1,
+            )
         own = []
         if self.obs_own_health:
             hmax = core_env.health_max[core.a_type]
@@ -445,7 +484,7 @@ class FlatBattle:
         (reference ``starcraft2.py:854-965``), computed once host-side."""
         Na, Ne = self.n_agents, self.n_enemies
         nf_al, nf_en, nf_own = self.nf_al_obs, self.nf_en_obs, self.nf_own
-        move_len = 4
+        move_len = self.move_feats_len
         obs_size = self.get_obs_size()
         if getattr(args, "obs_last_action", False):
             obs_size += self.n_actions

@@ -24,6 +24,7 @@ UNIT_NAMES = [
     "Marauder",
     "Marine",
     "Medivac",
+    "SpineCrawler",
     "Stalker",
     "Zealot",
     "Zergling",
@@ -42,6 +43,8 @@ UNIT_STATS = {
     "Marauder": (125.0, 0.0, 0.0, 10.0, 6.0, 25.0, 3.15),
     "Marine": (45.0, 0.0, 0.0, 6.0, 5.0, 15.0, 3.15),
     "Medivac": (150.0, 0.0, 200.0, 0.0, 4.0, 200.0, 3.5),
+    # rooted defense structure (2s_vs_1sc): speed 0 keeps it stationary
+    "SpineCrawler": (300.0, 0.0, 0.0, 25.0, 7.0, 41.0, 0.0),
     "Stalker": (80.0, 80.0, 0.0, 13.0, 6.0, 35.0, 4.13),
     "Zealot": (100.0, 50.0, 0.0, 16.0, 1.5, 22.0, 3.15),
     "Zergling": (35.0, 0.0, 0.0, 5.0, 1.0, 11.0, 4.13),

