@@ -66,6 +66,10 @@ class FusedPipeline:
         self.batch_size = int(args.batch_size)
         self.training_iters = int(args.training_iters)
         self.target_update_interval = int(args.target_update_interval)
+        # gt-factor diagnostics (reference q_learner.py:98-105,138-147) are
+        # pure functions of (params, batch, key) — traced into the block on
+        # the last sampled batch when the config asks for them
+        self.gt_diag = bool(getattr(args, "test_gt_factors", False))
         jit_kw = {}
         if mesh is not None:
             mesh.check_divisible(self.batch_size_run)
@@ -146,7 +150,7 @@ class FusedPipeline:
 
     def _block_impl(self, pstate: PipelineState, train: bool = True):
         B = self.batch_size_run
-        key, k_roll, k_sample, k_train = jax.random.split(pstate.key, 4)
+        key, k_roll, k_sample, k_train, k_diag = jax.random.split(pstate.key, 5)
         epsilon = self.runner.schedule.eval(pstate.t_env.astype(jnp.float32))
         epsilon = epsilon.astype(jnp.float32)
 
@@ -191,6 +195,12 @@ class FusedPipeline:
             train_state, metrics = self.learner._train_iters_impl(
                 train_state, samples, k_train
             )
+            if self.gt_diag:
+                diag = self.learner.gt_diagnostics(
+                    train_state, jax.tree.map(lambda x: x[-1], samples), k_diag
+                )
+                if diag:
+                    metrics = {**metrics, **diag}
             # hard target sync on the reference cadence (q_learner.py:180-182);
             # pre-increment episode counter, matching run.py's call order
             do_sync = (

@@ -231,12 +231,9 @@ def run_sequential(args, logger: Logger) -> None:
 
     logger.console_logger.info("Beginning training for %s timesteps", args.t_max)
 
-    # fused on-device pipeline (one dispatch per episode block) unless a
-    # host-side hook needs the sampled batches (gt diagnostics) or the user
-    # opts out
-    use_fused = bool(getattr(args, "use_fused_pipeline", True)) and not bool(
-        getattr(args, "test_gt_factors", False)
-    )
+    # fused on-device pipeline (one dispatch per episode block) unless the
+    # user opts out; gt diagnostics are traced into the block when requested
+    use_fused = bool(getattr(args, "use_fused_pipeline", True))
     if use_fused:
         _run_fused_loop(args, runner, learner, state, logger, key, timer,
                         start_time)

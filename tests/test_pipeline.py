@@ -49,10 +49,10 @@ def _setup(batch_size_run=4, batch_size=4, buffer_size=16, training_iters=2,
 def test_warmup_block_matches_standalone_rollout():
     pipe, runner, learner, state, args = _setup()
     key = jax.random.PRNGKey(7)
-    # the pipeline derives its rollout key as split(key, 4)[1] and epsilon
+    # the pipeline derives its rollout key as split(key, 5)[1] and epsilon
     # from the pre-block t_env; reproduce both and compare buffer contents
     # (standalone rollout runs FIRST: pipe.block donates the state buffers)
-    k_roll = jax.random.split(key, 4)[1]
+    k_roll = jax.random.split(key, 5)[1]
     eps = jnp.float32(runner.schedule.eval_host(0))
     batch, roll_stats = runner._rollout(
         state.params["agent"],
@@ -158,6 +158,22 @@ def test_sharded_pipeline_runs_on_mesh():
     assert ps.buffer["entities"].sharding.is_equivalent_to(
         mesh.batch_sharding, ps.buffer["entities"].ndim
     )
+
+
+def test_gt_diagnostics_traced_into_block():
+    """test_gt_factors configs compute ingroup/gt_ingroup_prop inside the
+    fused block (no host-side sample fetch)."""
+    pipe, runner, learner, state, args = _setup()
+    args.test_gt_factors = True
+    from refil_tpu.core.pipeline import FusedPipeline
+
+    pipe = FusedPipeline(runner, learner, args.buffer_size, args)
+    ps = pipe.init_state(state, jax.random.PRNGKey(5))
+    ps, _ = pipe.block(ps, train=False)
+    ps, stats = pipe.block(ps, train=True)
+    m = jax.device_get(stats["metrics"])
+    assert "ingroup_prop" in m and "gt_ingroup_prop" in m
+    assert 0.0 <= float(m["gt_ingroup_prop"]) <= 1.0
 
 
 def test_sampling_only_hits_filled_slots():
