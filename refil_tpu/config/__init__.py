@@ -70,7 +70,10 @@ def load_config(
     """
     config = _load_yaml(os.path.join(config_dir, "default.yaml"))
     if env is not None:
-        env = ENV_CONFIG_ALIASES.get(env, env)
+        # reference env-config names ship as real files; the alias is a
+        # fallback for custom config dirs that only carry the stand-in names
+        if not os.path.isfile(os.path.join(config_dir, "envs", f"{env}.yaml")):
+            env = ENV_CONFIG_ALIASES.get(env, env)
         env_cfg = _load_yaml(os.path.join(config_dir, "envs", f"{env}.yaml"))
         config = recursive_dict_update(config, env_cfg)
     if alg is not None:

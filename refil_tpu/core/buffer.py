@@ -38,12 +38,22 @@ def _gather(data, idx):
 
 
 class ReplayBuffer:
-    def __init__(self, template: Dict[str, jnp.ndarray], buffer_size: int, seed: int = 0):
-        """``template``: one episode batch (B, T+1, ...) defining shapes/dtypes."""
+    def __init__(self, template: Dict[str, jnp.ndarray], buffer_size: int,
+                 seed: int = 0, device=None):
+        """``template``: one episode batch (B, T+1, ...) defining shapes/dtypes.
+
+        ``device``: optional explicit placement for the ring storage — pass a
+        CPU device to keep the buffer in host RAM (``buffer_cpu_only``,
+        reference ``src/run.py:200``); samples are gathered there and moved to
+        the accelerator by the learner's jit like any host input.
+        """
         self.buffer_size = buffer_size
+        self.device = device
         self.data = jax.tree.map(
             lambda x: jnp.zeros((buffer_size,) + x.shape[1:], x.dtype), template
         )
+        if device is not None:
+            self.data = jax.device_put(self.data, device)
         self.index = 0
         self.episodes_in_buffer = 0
         self._rng = np.random.default_rng(seed)
@@ -53,6 +63,9 @@ class ReplayBuffer:
         positions = jnp.asarray(
             (self.index + np.arange(B)) % self.buffer_size, jnp.int32
         )
+        if self.device is not None:
+            batch = jax.device_put(batch, self.device)
+            positions = jax.device_put(positions, self.device)
         self.data = _scatter(self.data, batch, positions)
         self.index = int((self.index + B) % self.buffer_size)
         self.episodes_in_buffer = min(self.episodes_in_buffer + B, self.buffer_size)

@@ -233,7 +233,9 @@ def run_sequential(args, logger: Logger) -> None:
 
     # fused on-device pipeline (one dispatch per episode block) unless the
     # user opts out; gt diagnostics are traced into the block when requested
-    use_fused = bool(getattr(args, "use_fused_pipeline", True))
+    use_fused = bool(getattr(args, "use_fused_pipeline", True)) and not bool(
+        getattr(args, "buffer_cpu_only", False)
+    )
     if use_fused:
         _run_fused_loop(args, runner, learner, state, logger, key, timer,
                         start_time)
@@ -245,7 +247,15 @@ def run_sequential(args, logger: Logger) -> None:
         with timer.phase("rollout"):
             episode_batch = runner.run(state.params["agent"], k_roll, test_mode=False)
         if buffer is None:
-            buffer = ReplayBuffer(episode_batch, args.buffer_size, seed=args.seed)
+            # buffer_cpu_only keeps the ring in host RAM (reference run.py:200)
+            buf_dev = (
+                jax.devices("cpu")[0]
+                if getattr(args, "buffer_cpu_only", False)
+                else None
+            )
+            buffer = ReplayBuffer(
+                episode_batch, args.buffer_size, seed=args.seed, device=buf_dev
+            )
         buffer.insert_episode_batch(episode_batch)
 
         if buffer.can_sample(args.batch_size):
