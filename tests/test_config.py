@@ -50,11 +50,40 @@ def test_sanity_check_coerces_test_nepisode():
 
 
 def test_reference_env_config_aliases():
-    """Reference invocations (--env-config=sc2custom / sc2) must resolve to
-    the stand-in battle env configs."""
+    """Reference invocations (--env-config=sc2custom / sc2) must work
+    verbatim: the shipped drop-in configs carry the reference's exact key
+    surface, the env name resolves in the registry to the stand-in, and the
+    env constructs from those env_args (unknown SC2-binary keys tolerated)."""
+    from refil_tpu.envs import ENV_REGISTRY, SCENARIO_REGISTRY
+
     for ref_name, ours in ENV_CONFIG_ALIASES.items():
-        cfg_ref = load_config(env=ref_name)
-        cfg_ours = load_config(env=ours)
+        cfg = load_config(env=ref_name)
+        assert cfg["env"] == ref_name
+        assert ENV_REGISTRY[cfg["env"]] is ENV_REGISTRY[ours]
+
+    cfg = load_config(env="sc2custom")
+    assert cfg["scenario"] in SCENARIO_REGISTRY
+    scenario_dict = SCENARIO_REGISTRY[cfg["scenario"]]()
+    env = ENV_REGISTRY[cfg["env"]](scenario_dict=scenario_dict,
+                                   **cfg["env_args"])
+    assert env.episode_limit == cfg["env_args"]["episode_limit"]
+
+
+def test_reference_env_config_aliases_fallback(tmp_path):
+    """A custom config dir that only ships the stand-in env yamls still
+    resolves reference names through ENV_CONFIG_ALIASES."""
+    import os
+    import shutil
+
+    from refil_tpu.config import _CONFIG_DIR
+
+    cfg_dir = tmp_path / "config"
+    shutil.copytree(_CONFIG_DIR, cfg_dir)
+    for ref_name in ENV_CONFIG_ALIASES:
+        os.remove(cfg_dir / "envs" / f"{ref_name}.yaml")
+    for ref_name, ours in ENV_CONFIG_ALIASES.items():
+        cfg_ref = load_config(env=ref_name, config_dir=str(cfg_dir))
+        cfg_ours = load_config(env=ours, config_dir=str(cfg_dir))
         assert cfg_ref == cfg_ours
 
 
