@@ -39,14 +39,19 @@ def _gather(data, idx):
 
 class ReplayBuffer:
     def __init__(self, template: Dict[str, jnp.ndarray], buffer_size: int,
-                 seed: int = 0, device=None):
+                 seed: int = 0, device=None, sharding=None):
         """``template``: one episode batch (B, T+1, ...) defining shapes/dtypes.
 
         ``device``: optional explicit placement for the ring storage — pass a
         CPU device to keep the buffer in host RAM (``buffer_cpu_only``,
         reference ``src/run.py:200``); samples are gathered there and moved to
         the accelerator by the learner's jit like any host input.
+
+        ``sharding``: optional ``NamedSharding`` to spread the ring's episode
+        axis over a device mesh (classic-loop SPMD path; the fused pipeline
+        shards its own ring). Mutually exclusive with ``device``.
         """
+        assert device is None or sharding is None, "device and sharding conflict"
         self.buffer_size = buffer_size
         self.device = device
         self.data = jax.tree.map(
@@ -54,6 +59,8 @@ class ReplayBuffer:
         )
         if device is not None:
             self.data = jax.device_put(self.data, device)
+        elif sharding is not None:
+            self.data = jax.device_put(self.data, sharding)
         self.index = 0
         self.episodes_in_buffer = 0
         self._rng = np.random.default_rng(seed)

@@ -119,15 +119,24 @@ class FusedPipeline:
             jnp.float32(0.0),
             jnp.int32(-1),
         )[0]
-        buffer = jax.tree.map(
-            lambda s: jnp.zeros((self.buffer_size,) + s.shape[1:], s.dtype), shapes
-        )
         if self.mesh is not None:
-            buffer = self.mesh.shard_batch(buffer)
+            # allocate directly with the ring sharding (created inside jit —
+            # multi-process-safe, no transient host-global array)
+            buffer = self.mesh.zeros_sharded(
+                jax.tree.map(
+                    lambda s: jax.ShapeDtypeStruct(
+                        (self.buffer_size,) + s.shape[1:], s.dtype
+                    ),
+                    shapes,
+                )
+            )
             train_state = self.mesh.replicate(train_state)
-        return PipelineState(
-            train=train_state,
-            buffer=buffer,
+        else:
+            buffer = jax.tree.map(
+                lambda s: jnp.zeros((self.buffer_size,) + s.shape[1:], s.dtype),
+                shapes,
+            )
+        counters = dict(
             buffer_index=jnp.int32(0),
             episodes_in_buffer=jnp.int32(0),
             t_env=jnp.int32(t_env),
@@ -135,6 +144,9 @@ class FusedPipeline:
             last_target_episode=jnp.int32(episode),
             key=key,
         )
+        if self.mesh is not None:
+            counters = self.mesh.replicate(counters)
+        return PipelineState(train=train_state, buffer=buffer, **counters)
 
     # ------------------------------------------------------------------
     def _sample_idx(self, key: jax.Array, episodes_in_buffer) -> jnp.ndarray:

@@ -47,8 +47,18 @@ def build_env(args):
 
 def run(config: Dict[str, Any]) -> None:
     config = args_sanity_check(config)
+    # multi-host first: jax.distributed must init before any device access
+    from .parallel.mesh import maybe_init_distributed
+
+    multiproc = maybe_init_distributed(config)
     args = config_to_args(config)
     logger = Logger(get_logger())
+    if multiproc:
+        logger.console_logger.info(
+            "jax.distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
 
     # persistent XLA compile cache: repeat runs of the same config skip the
     # (substantial) TPU compile
@@ -189,6 +199,18 @@ def run_sequential(args, logger: Logger) -> None:
     learner = QLearner(mac, args, env_info, k_init)
     state = learner.init_state(k_init, _dummy_batch(mac, env_info))
 
+    # SPMD mesh (new capability vs the reference's single-GPU learner):
+    # honors mesh_shape, auto-shards over all visible devices otherwise
+    from .parallel.mesh import maybe_make_mesh
+
+    mesh = maybe_make_mesh(args, logger=logger.console_logger)
+    if mesh is not None:
+        logger.console_logger.info(
+            "SPMD mesh: %s over %d device(s)",
+            dict(zip(mesh.mesh.axis_names, mesh.mesh.devices.shape)),
+            mesh.mesh.devices.size,
+        )
+
     buffer: Optional[ReplayBuffer] = None
 
     # checkpoint load (reference run.py:214-245)
@@ -238,7 +260,7 @@ def run_sequential(args, logger: Logger) -> None:
     )
     if use_fused:
         _run_fused_loop(args, runner, learner, state, logger, key, timer,
-                        start_time)
+                        start_time, mesh=mesh)
         logger.console_logger.info("Finished Training")
         return
 
@@ -254,7 +276,9 @@ def run_sequential(args, logger: Logger) -> None:
                 else None
             )
             buffer = ReplayBuffer(
-                episode_batch, args.buffer_size, seed=args.seed, device=buf_dev
+                episode_batch, args.buffer_size, seed=args.seed, device=buf_dev,
+                sharding=None if buf_dev is not None or mesh is None
+                else mesh.batch_sharding,
             )
         buffer.insert_episode_batch(episode_batch)
 
@@ -322,15 +346,17 @@ def run_sequential(args, logger: Logger) -> None:
 
 
 def _run_fused_loop(args, runner, learner, state, logger, key, timer,
-                    start_time) -> None:
+                    start_time, mesh=None) -> None:
     """Training loop over the fused on-device pipeline: one dispatch per
     episode block (rollout + insert + sample + train iters + target sync in a
     single donated jit, ``core/pipeline.py``). Host code is reduced to stats
     bookkeeping and the periodic test/save/log cadence of reference
-    ``run.py:258-308``."""
+    ``run.py:258-308``. With a mesh, the whole block is one SPMD program:
+    env batch + replay ring sharded over the data axis, params replicated,
+    XLA-inserted grad psum over ICI."""
     from .core.pipeline import FusedPipeline
 
-    pipeline = FusedPipeline(runner, learner, args.buffer_size, args)
+    pipeline = FusedPipeline(runner, learner, args.buffer_size, args, mesh=mesh)
     key, k_pipe = jax.random.split(key)
     ps = pipeline.init_state(state, k_pipe, t_env=runner.t_env)
     warm = pipeline.warmup_blocks()
