@@ -92,13 +92,30 @@ def run(config: Dict[str, Any]) -> None:
     logger.console_logger.info("Finished")
 
 
-def _save_checkpoint(path: str, state: TrainState) -> None:
+def _save_checkpoint(path: str, state: TrainState, pstate=None,
+                     include_buffer: bool = False) -> None:
+    """Write a checkpoint. With ``pstate`` (a ``PipelineState``) the fused
+    pipeline's mutable state is saved too — RNG key, t_env/episode/target-sync
+    counters, and (behind ``include_buffer``, it can be GBs) the replay ring —
+    making resume exact. The reference only saves model weights and
+    acknowledges approximate resume (``q_learner.py:222-225``)."""
     os.makedirs(path, exist_ok=True)
+    blob = {"params": state.params, "target": state.target_params,
+            "opt": state.opt_state}
+    if pstate is not None:
+        pipe = {
+            "buffer_index": pstate.buffer_index,
+            "episodes_in_buffer": pstate.episodes_in_buffer,
+            "t_env": pstate.t_env,
+            "episode": pstate.episode,
+            "last_target_episode": pstate.last_target_episode,
+            "key": pstate.key,
+        }
+        if include_buffer:
+            pipe["buffer"] = pstate.buffer
+        blob["pipeline"] = pipe
     payload = flax.serialization.msgpack_serialize(
-        flax.serialization.to_state_dict(
-            {"params": state.params, "target": state.target_params,
-             "opt": state.opt_state}
-        )
+        flax.serialization.to_state_dict(jax.device_get(blob))
     )
     # atomic write: a crash/device-wedge mid-save must not leave a truncated
     # checkpoint that a later resume would try to load
@@ -108,13 +125,51 @@ def _save_checkpoint(path: str, state: TrainState) -> None:
     os.replace(tmp, join(path, "state.msgpack"))
 
 
-def _load_checkpoint(path: str, state: TrainState) -> TrainState:
+def _load_checkpoint(path: str, state: TrainState):
+    """Returns ``(TrainState, pipeline_payload_or_None)``. The pipeline
+    payload is raw (numpy) state-dict data; ``_run_fused_loop`` grafts it onto
+    a freshly initialised ``PipelineState``."""
     with open(join(path, "state.msgpack"), "rb") as f:
         restored = flax.serialization.msgpack_restore(f.read())
+    pipe_payload = restored.pop("pipeline", None)
     tmpl = {"params": state.params, "target": state.target_params, "opt": state.opt_state}
     tmpl = flax.serialization.from_state_dict(tmpl, restored)
-    return TrainState(params=tmpl["params"], target_params=tmpl["target"],
-                      opt_state=tmpl["opt"])
+    return (
+        TrainState(params=tmpl["params"], target_params=tmpl["target"],
+                   opt_state=tmpl["opt"]),
+        pipe_payload,
+    )
+
+
+def restore_pipeline_state(ps, payload, mesh=None):
+    """Graft a checkpointed pipeline payload (raw state-dict numpy data) onto
+    a freshly initialised ``PipelineState``. Counters and the RNG key always
+    restore; the replay ring restores when it was saved (``checkpoint_buffer``)
+    — otherwise the fresh zero ring keeps its zero fill counters so sampling
+    never sees unwritten slots."""
+    updates = {
+        "t_env": jnp.int32(payload["t_env"]),
+        "episode": jnp.int32(payload["episode"]),
+        "last_target_episode": jnp.int32(payload["last_target_episode"]),
+        "key": jnp.asarray(payload["key"], jnp.asarray(ps.key).dtype),
+    }
+    if "buffer" in payload:
+        buffer = flax.serialization.from_state_dict(
+            jax.device_get(ps.buffer), payload["buffer"]
+        )
+        buffer = jax.tree.map(
+            lambda tmpl, b: jnp.asarray(b, tmpl.dtype), ps.buffer, buffer
+        )
+        if mesh is not None:
+            buffer = mesh.shard_batch(buffer)
+        updates["buffer"] = buffer
+        updates["buffer_index"] = jnp.int32(payload["buffer_index"])
+        updates["episodes_in_buffer"] = jnp.int32(payload["episodes_in_buffer"])
+    if mesh is not None:
+        scalars = {k: v for k, v in updates.items() if k != "buffer"}
+        scalars = mesh.replicate(scalars)
+        updates.update(scalars)
+    return ps._replace(**updates)
 
 
 def evaluate_sequential(args, runner: VectorRunner, learner: QLearner,
@@ -212,6 +267,7 @@ def run_sequential(args, logger: Logger) -> None:
         )
 
     buffer: Optional[ReplayBuffer] = None
+    pipe_payload = None
 
     # checkpoint load (reference run.py:214-245)
     if args.checkpoint_path:
@@ -236,7 +292,7 @@ def run_sequential(args, logger: Logger) -> None:
             timestep_to_load = min(timesteps, key=lambda x: abs(x - args.load_step))
         model_path = join(args.checkpoint_path, str(timestep_to_load))
         logger.console_logger.info("Loading model from %s", model_path)
-        state = _load_checkpoint(model_path, state)
+        state, pipe_payload = _load_checkpoint(model_path, state)
         runner.t_env = timestep_to_load
         if args.evaluate or args.save_replay:
             key, k_eval = jax.random.split(key)
@@ -260,7 +316,7 @@ def run_sequential(args, logger: Logger) -> None:
     )
     if use_fused:
         _run_fused_loop(args, runner, learner, state, logger, key, timer,
-                        start_time, mesh=mesh)
+                        start_time, mesh=mesh, pipe_payload=pipe_payload)
         logger.console_logger.info("Finished Training")
         return
 
@@ -346,7 +402,7 @@ def run_sequential(args, logger: Logger) -> None:
 
 
 def _run_fused_loop(args, runner, learner, state, logger, key, timer,
-                    start_time, mesh=None) -> None:
+                    start_time, mesh=None, pipe_payload=None) -> None:
     """Training loop over the fused on-device pipeline: one dispatch per
     episode block (rollout + insert + sample + train iters + target sync in a
     single donated jit, ``core/pipeline.py``). Host code is reduced to stats
@@ -360,8 +416,20 @@ def _run_fused_loop(args, runner, learner, state, logger, key, timer,
     key, k_pipe = jax.random.split(key)
     ps = pipeline.init_state(state, k_pipe, t_env=runner.t_env)
     warm = pipeline.warmup_blocks()
+    if pipe_payload is not None:
+        # graft the checkpointed pipeline state (RNG key, counters, optionally
+        # the replay ring) onto the fresh template — exact resume
+        ps = restore_pipeline_state(ps, pipe_payload, mesh)
+        if "buffer" in pipe_payload:
+            warm = 0  # ring contents restored; no refill needed
+        logger.console_logger.info(
+            "Restored pipeline state: t_env=%d episode=%d buffer=%s",
+            int(ps.t_env), int(ps.episode),
+            "restored" if "buffer" in pipe_payload else "fresh",
+        )
+        runner.t_env = int(ps.t_env)
 
-    episode = 0
+    episode = int(ps.episode)
     blocks_done = 0
     last_test_T = -args.test_interval - 1
     last_log_T = 0
@@ -415,7 +483,10 @@ def _run_fused_loop(args, runner, learner, state, logger, key, timer,
                 args.local_results_path, "models", args.unique_token, str(runner.t_env)
             )
             logger.console_logger.info("Saving models to %s", save_path)
-            _save_checkpoint(save_path, ps.train)
+            _save_checkpoint(
+                save_path, ps.train, pstate=ps,
+                include_buffer=bool(getattr(args, "checkpoint_buffer", False)),
+            )
 
         if (runner.t_env - last_log_T) >= args.log_interval:
             logger.log_stat("episode", episode, runner.t_env)
