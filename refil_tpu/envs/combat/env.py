@@ -162,16 +162,19 @@ class EntityBattle:
         self.cooldown_frames = jnp.asarray(U.COOLDOWN_FRAMES, jnp.float32)
         self.is_medivac_t = jnp.asarray(U.IS_MEDIVAC)
 
-        # static per-slot spawn spread (golden-angle spiral) so co-group units
-        # don't stack exactly on the group anchor
+        # static within-group spawn spread (golden-angle spiral over a unit's
+        # rank in its group) — the stand-in for SC2 physically separating the
+        # quantity=num units DebugCreateUnit places at one point
         def spiral(n):
             i = np.arange(n)
             r = 0.55 * np.sqrt(i + 0.25)
             th = 2.39996 * i
             return np.stack([r * np.cos(th), r * np.sin(th)], -1).astype(np.float32)
 
-        self.a_spread = jnp.asarray(spiral(self.max_na))
-        self.e_spread = jnp.asarray(spiral(self.max_ne))
+        self.rank_spread = jnp.asarray(spiral(max(self.max_na, self.max_ne)))
+        # max number of (count, type) groups across scenarios, per side
+        self.n_groups_a = int(self.sc.ally_group.max()) + 1
+        self.n_groups_e = int(self.sc.enemy_group.max()) + 1
 
         self.sc_j = jax.tree.map(
             jnp.asarray,
@@ -180,6 +183,10 @@ class EntityBattle:
                 "ally_active": self.sc.ally_active,
                 "enemy_types": self.sc.enemy_types,
                 "enemy_active": self.sc.enemy_active,
+                "ally_group": self.sc.ally_group,
+                "enemy_group": self.sc.enemy_group,
+                "ally_rank": self.sc.ally_rank,
+                "enemy_rank": self.sc.enemy_rank,
             },
         )
 
@@ -239,10 +246,24 @@ class EntityBattle:
         offs = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], -1)
         a_anchor = self.center + (0.0 if self.ally_centered else 1.0) * offs
         e_anchor = self.center - offs
-        jit_a = (jax.random.uniform(k_jit_a, (B, 2)) - 0.5) * 2 * self.jitter
-        jit_e = (jax.random.uniform(k_jit_e, (B, 2)) - 0.5) * 2 * self.jitter
-        a_pos = a_anchor[:, None] + jit_a[:, None] + self.a_spread[None]
-        e_pos = e_anchor[:, None] + jit_e[:, None] + self.e_spread[None]
+        # each (count, type) group draws its OWN jitter around the army anchor
+        # (reference _assign_pos: per-group rs.rand(2) * jitter,
+        # starcraft2custom.py:458-459); units within a group share it and
+        # spread on the rank spiral
+        jit_a = (
+            jax.random.uniform(k_jit_a, (B, self.n_groups_a, 2)) - 0.5
+        ) * 2 * self.jitter
+        jit_e = (
+            jax.random.uniform(k_jit_e, (B, self.n_groups_e, 2)) - 0.5
+        ) * 2 * self.jitter
+        a_grp = self.sc_j["ally_group"][scen]  # (B, Na)
+        e_grp = self.sc_j["enemy_group"][scen]
+        a_jit = jnp.take_along_axis(jit_a, a_grp[..., None], axis=1)  # (B, Na, 2)
+        e_jit = jnp.take_along_axis(jit_e, e_grp[..., None], axis=1)
+        a_rs = self.rank_spread[self.sc_j["ally_rank"][scen]]  # (B, Na, 2)
+        e_rs = self.rank_spread[self.sc_j["enemy_rank"][scen]]
+        a_pos = a_anchor[:, None] + a_jit + a_rs
+        e_pos = e_anchor[:, None] + e_jit + e_rs
         a_pos = jnp.clip(a_pos, 1.0, self.map_size - 1.0)
         e_pos = jnp.clip(e_pos, 1.0, self.map_size - 1.0)
 
@@ -672,11 +693,19 @@ class EntityBattle:
         return new_state, reward, done, info
 
     # ------------------------------------------------------------------
-    def heuristic_actions(self, state: CombatState) -> jnp.ndarray:
+    def heuristic_actions(
+        self, state: CombatState, avail: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         """Scripted ally policy (stand-in for the reference ``heuristic_ai``,
         ``get_agent_action_heuristic:781-877``): attackers target the nearest
         living enemy (attack if its tag-action is available, else move toward
-        it); Medivacs heal the nearest damaged non-Medivac ally."""
+        it); Medivacs heal the nearest damaged non-Medivac ally.
+
+        ``avail``: the (B, Na, A) availability mask. Like the reference
+        heuristic (which checks ``avail_actions`` before emitting,
+        ``:841-843,864-875``), the chosen action is gated to be legal via a
+        fallback chain: desired attack/heal -> move toward target -> any
+        available move (N/S/E/W) -> stop -> no-op."""
         B = state.t.shape[0]
         Na, Ne = self.max_na, self.max_ne
         a_alive = (state.a_health > 0) & state.a_active
@@ -710,8 +739,6 @@ class EntityBattle:
         want = jnp.where(is_med, heal_act, attack_act)
         has_target = jnp.where(is_med, tgt_a_dist < _FAR, tgt_e_dist < _FAR)
         # move toward the target when attacking/healing is not available
-        # (avail gating happens in the runner: unavailable -> chase via the
-        # attack action is invalid, so fall back to a cardinal move)
         tgt_pos = jnp.where(
             is_med[..., None],
             jnp.take_along_axis(state.a_pos, tgt_a[..., None], axis=1),
@@ -725,7 +752,29 @@ class EntityBattle:
         in_range = jnp.where(is_med, tgt_a_dist, tgt_e_dist) <= self.shoot_range
         act = jnp.where(in_range, want, move_act)
         act = jnp.where(has_target, act, 1)  # stop if nothing to do
-        return jnp.where(a_alive, act, 0).astype(jnp.int32)
+        act = jnp.where(a_alive, act, 0).astype(jnp.int32)
+
+        if avail is None:
+            avail = self.get_avail_actions(state)
+        # legality chain: first available of [desired, move-toward-target,
+        # N, S, E, W, stop, no-op] — every agent always has stop (alive) or
+        # no-op (dead) available, so the chain never falls through
+        cands = jnp.stack(
+            [
+                act,
+                move_act.astype(jnp.int32),
+                jnp.full_like(act, 2),
+                jnp.full_like(act, 3),
+                jnp.full_like(act, 4),
+                jnp.full_like(act, 5),
+                jnp.ones_like(act),
+                jnp.zeros_like(act),
+            ],
+            axis=-1,
+        )  # (B, Na, 8)
+        legal = jnp.take_along_axis(avail, cands, axis=-1)  # (B, Na, 8) bool
+        first = jnp.argmax(legal, axis=-1)  # first legal candidate
+        return jnp.take_along_axis(cands, first[..., None], axis=-1)[..., 0]
 
     def render_state(self, state: CombatState) -> Dict[str, jnp.ndarray]:
         """Compact per-step snapshot for host-side rendering (render.py)."""

@@ -180,6 +180,11 @@ class CompiledScenarios(NamedTuple):
     # reference's per-group DebugCreateUnit positions, starcraft2custom.py:1666-1692)
     ally_group: np.ndarray  # (S, max_na) int32
     enemy_group: np.ndarray  # (S, max_ne) int32
+    # rank of a unit within its group (0..num-1): drives the within-group
+    # spawn spread (the stand-in for SC2 physically separating the
+    # quantity=num units created at one Point2D)
+    ally_rank: np.ndarray  # (S, max_na) int32
+    enemy_rank: np.ndarray  # (S, max_ne) int32
     names: List[str]
     unit_type_set: List[int]  # sorted unit ids present anywhere
 
@@ -188,16 +193,18 @@ def _team_to_slots(team, max_n):
     types = np.zeros((max_n,), np.int32)
     active = np.zeros((max_n,), bool)
     group = np.zeros((max_n,), np.int32)
+    rank = np.zeros((max_n,), np.int32)
     i = 0
     # stable order: sort groups by unit id to mirror the reference's
     # sorted(unit_type, x, y) slot ordering (starcraft2custom.py:1734-1738)
     for gi, (num, typ) in enumerate(sorted(team, key=lambda x: UNIT_ID[x[1]])):
-        for _ in range(num):
+        for r in range(num):
             types[i] = UNIT_ID[typ]
             active[i] = True
             group[i] = gi
+            rank[i] = r
             i += 1
-    return types, active, group
+    return types, active, group, rank
 
 
 def compile_scenarios(scenario_dict: Dict) -> CompiledScenarios:
@@ -208,14 +215,16 @@ def compile_scenarios(scenario_dict: Dict) -> CompiledScenarios:
     at = np.zeros((S, max_na), np.int32)
     aa = np.zeros((S, max_na), bool)
     ag = np.zeros((S, max_na), np.int32)
+    ar = np.zeros((S, max_na), np.int32)
     et = np.zeros((S, max_ne), np.int32)
     ea = np.zeros((S, max_ne), bool)
     eg = np.zeros((S, max_ne), np.int32)
+    er = np.zeros((S, max_ne), np.int32)
     names = []
     unit_ids = set()
     for s, (ally, enemy) in enumerate(scens):
-        at[s], aa[s], ag[s] = _team_to_slots(ally, max_na)
-        et[s], ea[s], eg[s] = _team_to_slots(enemy, max_ne)
+        at[s], aa[s], ag[s], ar[s] = _team_to_slots(ally, max_na)
+        et[s], ea[s], eg[s], er[s] = _team_to_slots(enemy, max_ne)
         for num, typ in ally + enemy:
             unit_ids.add(UNIT_ID[typ])
         names.append(
@@ -234,6 +243,8 @@ def compile_scenarios(scenario_dict: Dict) -> CompiledScenarios:
         enemy_active=ea,
         ally_group=ag,
         enemy_group=eg,
+        ally_rank=ar,
+        enemy_rank=er,
         names=names,
         unit_type_set=sorted(unit_ids),
     )

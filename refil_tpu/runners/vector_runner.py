@@ -134,9 +134,12 @@ class VectorRunner:
             k_act, k_env = jax.random.split(kt)
             q, hidden_new = mac.forward_step(params, obs, last_oh, hidden)
             if heuristic:
-                # scripted ally policy (reference heuristic_ai)
+                # scripted ally policy (reference heuristic_ai); the env gates
+                # the choice against avail_actions so the recorded action is
+                # always one the learner's avail mask permits
                 actions = env.heuristic_actions(
-                    state.core if hasattr(state, "core") else state
+                    state.core if hasattr(state, "core") else state,
+                    obs["avail_actions"],
                 )
             else:
                 actions = select(k_act, q, obs["avail_actions"])

@@ -117,3 +117,47 @@ def test_timeout_sets_episode_limit():
     assert bool(done.all())
     assert bool(info["episode_limit"].all())
     assert not bool(info["battle_won"].any())
+
+
+def test_per_group_spawn_anchors():
+    """Each (count, type) group draws its own spawn jitter around the army
+    anchor (reference _assign_pos per-group rs.rand(2), starcraft2custom.py:
+    458-459): units of one group share an anchor (positions differ only by the
+    rank spread); different groups get different anchors."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from refil_tpu.envs.combat.env import EntityBattle
+    from refil_tpu.envs.combat.scenarios import SCENARIO_REGISTRY
+
+    sd = SCENARIO_REGISTRY["3-8sz_symmetric"]()
+    env = EntityBattle(scenario_dict=sd)
+    assert env.n_groups_a >= 2
+    B = 64
+    state, _ = env.reset(jax.random.PRNGKey(11), B)
+    grp = np.asarray(env.sc_j["ally_group"][state.scen])
+    rank = np.asarray(env.sc_j["ally_rank"][state.scen])
+    active = np.asarray(state.a_active)
+    # subtract the deterministic rank spread -> remaining = anchor + group jit
+    anchors = np.asarray(state.a_pos) - np.asarray(env.rank_spread)[rank]
+    checked_same = checked_diff = 0
+    for b in range(B):
+        idx = np.where(active[b])[0]
+        # positions away from map borders only (clipping breaks the identity)
+        pos = np.asarray(state.a_pos)[b]
+        inb = (pos > 1.5).all(-1) & (pos < env.map_size - 1.5).all(-1)
+        idx = [i for i in idx if inb[i]]
+        for i in idx:
+            for j in idx:
+                if i >= j:
+                    continue
+                if grp[b, i] == grp[b, j]:
+                    np.testing.assert_allclose(
+                        anchors[b, i], anchors[b, j], atol=1e-4
+                    )
+                    checked_same += 1
+                elif abs(anchors[b, i] - anchors[b, j]).max() > 1e-6:
+                    checked_diff += 1
+    assert checked_same > 10
+    assert checked_diff > 10

@@ -49,3 +49,30 @@ def test_heuristic_actions_valid():
     acts = np.asarray(env.heuristic_actions(state))
     assert acts.shape == (4, env.max_na)
     assert (acts >= 0).all() and (acts < env.n_actions).all()
+
+
+def test_heuristic_actions_always_legal():
+    """Every heuristic action must satisfy avail_actions at every step of a
+    full rollout, Medivacs included (reference get_agent_action_heuristic only
+    ever emits legal actions, starcraft2custom.py:781-877)."""
+    for scen in ("3-8MMM_symmetric", "1-5m_symmetric"):
+        sd = SCENARIO_REGISTRY[scen]()
+        env = EntityBattle(scenario_dict=sd)
+        B = 6
+        key = jax.random.PRNGKey(5)
+        state, obs = env.reset(jax.random.PRNGKey(4), B)
+        step = jax.jit(env.step)
+        for t in range(40):
+            key, k = jax.random.split(key)
+            avail = obs["avail_actions"]
+            acts = env.heuristic_actions(state, avail)
+            taken_ok = np.asarray(
+                jnp.take_along_axis(avail, acts[..., None], axis=-1)[..., 0]
+            )
+            assert taken_ok.all(), (
+                scen, t,
+                np.argwhere(~taken_ok), np.asarray(acts)[~taken_ok],
+            )
+            state, obs, rew, done, info = step(state, acts, k)
+            if np.asarray(done).all():
+                break
