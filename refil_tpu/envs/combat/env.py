@@ -86,6 +86,8 @@ class EntityBattle:
         reward_scale_rate: float = 20.0,
         reward_sparse: bool = False,
         map_size: float = 32.0,
+        pathing_grid=None,
+        terrain_height=None,
         **unused,
     ):
         assert entity_scheme, "EntityBattle only supports the entity scheme"
@@ -129,6 +131,20 @@ class EntityBattle:
         self.random_tags = bool(random_tags)
         self.map_size = float(map_size)
         self.center = jnp.asarray([map_size / 2.0, map_size / 2.0], jnp.float32)
+
+        # walkability / terrain grids (reference pathing_grid / terrain_height,
+        # starcraft2.py:330-342; grid cell = 1 map unit, indexed [x, y]).
+        # None = the empty_passive map every custom scenario uses: all
+        # walkable, flat. FlatBattle passes real per-map geometry.
+        M = int(np.ceil(map_size))
+        if pathing_grid is None:
+            pathing_grid = np.ones((M, M), bool)
+        if terrain_height is None:
+            terrain_height = np.full((M, M), 0.5, np.float32)
+        self.pathing_grid = jnp.asarray(np.asarray(pathing_grid, bool))
+        self.terrain_height = jnp.asarray(np.asarray(terrain_height, np.float32))
+        self.trivial_pathing = bool(np.asarray(pathing_grid).all())
+        self.ignores_pathing_t = jnp.asarray(U.IGNORES_PATHING)
 
         self.reward_death_value = reward_death_value
         self.reward_win = reward_win
@@ -353,6 +369,39 @@ class EntityBattle:
         d = jnp.where(jnp.eye(n, dtype=bool)[None], 0.0, d)
         return d  # (B, Na+Ne, Na+Ne)
 
+    def _walkable(self, pos: jnp.ndarray) -> jnp.ndarray:
+        """Whether each position's grid cell is pathable (reference
+        ``can_move``/``check_bounds``: int-cast index, out-of-bounds is not
+        walkable, ``starcraft2.py:791-834``). ``pos``: (..., 2)."""
+        M = self.pathing_grid.shape[0]
+        xi = jnp.floor(pos[..., 0]).astype(jnp.int32)
+        yi = jnp.floor(pos[..., 1]).astype(jnp.int32)
+        inb = (xi >= 0) & (xi < M) & (yi >= 0) & (yi < M)
+        val = self.pathing_grid[jnp.clip(xi, 0, M - 1), jnp.clip(yi, 0, M - 1)]
+        return inb & val
+
+    def _apply_pathing(self, pos, disp, types):
+        """Resolve a movement against the walkability grid: blocked moves
+        slide along walls (x-only / y-only fallback) or cancel. Cliff-walkers
+        and flyers (``U.IGNORES_PATHING``) pass through; map-border clipping
+        always applies."""
+        lo, hi = 1.0, self.map_size - 1.0
+        full = jnp.clip(pos + disp, lo, hi)
+        if self.trivial_pathing:
+            return full
+        ign = self.ignores_pathing_t[types]
+        ok = self._walkable(full) | ign
+        x_only = jnp.clip(pos + disp * jnp.asarray([1.0, 0.0]), lo, hi)
+        y_only = jnp.clip(pos + disp * jnp.asarray([0.0, 1.0]), lo, hi)
+        ok_x = self._walkable(x_only)
+        ok_y = self._walkable(y_only)
+        out = jnp.where(
+            ok[..., None],
+            full,
+            jnp.where(ok_x[..., None], x_only, jnp.where(ok_y[..., None], y_only, pos)),
+        )
+        return out
+
     def get_avail_actions(self, state: CombatState) -> jnp.ndarray:
         """(B, Na, A) bool. Reference ``get_avail_agent_actions:1490-1549``."""
         B = state.t.shape[0]
@@ -365,13 +414,23 @@ class EntityBattle:
         avail = jnp.zeros((B, Na, self.n_actions), bool)
         # stop always available while alive
         avail = avail.at[:, :, 1].set(True)
-        # moves: in-bounds check (empty map; reference can_move + pathing grid)
+        # moves: in-bounds + walkability at pos ± move_amount/2 (reference
+        # can_move, starcraft2.py:791-808; cliff-walkers/flyers skip the grid)
         m = self.move_amount / 2.0
         pos = state.a_pos
         can_n = pos[..., 1] + m < self.map_size - 1.0
         can_s = pos[..., 1] - m > 1.0
         can_e = pos[..., 0] + m < self.map_size - 1.0
         can_w = pos[..., 0] - m > 1.0
+        if not self.trivial_pathing:
+            ign = self.ignores_pathing_t[state.a_type]
+            dxy = jnp.asarray([[0.0, m], [0.0, -m], [m, 0.0], [-m, 0.0]])
+            walk = self._walkable(pos[:, :, None, :] + dxy[None, None])  # (B,Na,4)
+            walk = walk | ign[..., None]
+            can_n = can_n & walk[..., 0]
+            can_s = can_s & walk[..., 1]
+            can_e = can_e & walk[..., 2]
+            can_w = can_w & walk[..., 3]
         avail = avail.at[:, :, 2].set(can_n)
         avail = avail.at[:, :, 3].set(can_s)
         avail = avail.at[:, :, 4].set(can_e)
@@ -483,7 +542,7 @@ class EntityBattle:
             move_step,
             jnp.where((is_agent_attack | is_agent_heal)[..., None], chase_step, 0.0),
         )
-        a_pos = jnp.clip(state.a_pos + a_disp, 1.0, self.map_size - 1.0)
+        a_pos = self._apply_pathing(state.a_pos, a_disp, state.a_type)
 
         # enemies: chase target into weapon range, or advance on attack point
         e_speed = self.speed_step[state.e_type]
@@ -502,7 +561,7 @@ class EntityBattle:
             / jnp.maximum(e_dist, 1e-6)[..., None]
             * e_alive[..., None]
         )
-        e_pos = jnp.clip(state.e_pos + e_disp, 1.0, self.map_size - 1.0)
+        e_pos = self._apply_pathing(state.e_pos, e_disp, state.e_type)
 
         # ---- combat resolution (post-movement positions) ----
         a_cd = jnp.maximum(state.a_cd - self.step_mul, 0.0)

@@ -81,6 +81,44 @@ MAP_REGISTRY: Dict[str, Tuple[list, list, int]] = {
 }
 
 
+def map_geometry(map_name: str, map_size: float):
+    """Static walkability + terrain-height grids for maps whose identity IS
+    their geometry (reference maps ship as binary .SC2Map files; SMAC reads
+    ``pathing_grid``/``terrain_height`` out of them, ``starcraft2.py:330-342``).
+    Grid cell = 1 map unit, indexed ``[x, y]``. Heights are in [0, 1].
+
+    Maps not listed are open flat fields (their identity is army composition).
+    Army anchors sit at center ± separation/2 along the x axis (theta=pi in
+    ``EntityBattle.reset``), so geometry keeps those regions walkable.
+    """
+    M = int(np.ceil(map_size))
+    walk = np.ones((M, M), bool)
+    height = np.full((M, M), 0.5, np.float32)
+    c = M // 2
+    if map_name == "corridor":
+        # two open chambers joined by a narrow choke: the map's whole point
+        # is that 6 zealots hold the corridor against 24 zerglings
+        walk[:] = False
+        walk[: c - 4, :] = True          # left chamber (ally spawn)
+        walk[c + 4 :, :] = True          # right chamber (enemy spawn)
+        walk[c - 4 : c + 4, c - 2 : c + 2] = True  # the corridor
+    elif map_name == "2c_vs_64zg":
+        # high ground (right, ally colossi) vs low ground (left) split by a
+        # cliff band only Colossi can cross; ground units detour via ramps
+        # at the top and bottom edges
+        height[: c - 1, :] = 0.25
+        height[c + 1 :, :] = 0.75
+        height[c - 1 : c + 1, :] = 0.5
+        walk[c - 1 : c + 1, 4 : M - 4] = False  # cliff band, ramps at edges
+        # NOTE: allies spawn on the LEFT anchor; swap sides is irrelevant to
+        # dynamics since Colossi cliff-walk either way
+    elif map_name == "so_many_baneling":
+        # unwalkable rocks behind the ally spawn: zealots cannot retreat
+        # west forever and must meet the banelings spread out
+        walk[c - 13 : c - 11, : c] = False
+    return walk, height
+
+
 class FlatState(NamedTuple):
     core: CombatState
     last_action: jnp.ndarray  # (B, Na, A) onehot of each agent's last action
@@ -116,11 +154,16 @@ class FlatBattle:
             episode_limit=episode_limit or default_limit,
         )
         combat_kwargs.pop("scenario_dict", None)
+        walk, height = map_geometry(
+            map_name, combat_kwargs.get("map_size", 32.0)
+        )
         self.core = EntityBattle(
             scenario_dict=scen,
             entity_scheme=True,
             random_tags=False,
             sight_range=sight_range,
+            pathing_grid=walk,
+            terrain_height=height,
             **combat_kwargs,
         )
         self.n_agents = self.core.max_na
@@ -134,14 +177,21 @@ class FlatBattle:
         self.state_timestep_number = state_timestep_number
         self.obs_timestep_number = obs_timestep_number
         # surrounding pathing/height blocks (reference starcraft2.py:836-850,
-        # n_obs_pathing=8 / n_obs_height=9 at :218-219). The stand-in map is
-        # empty and flat: every surrounding point is pathable (1) and the
-        # terrain height is a uniform constant.
+        # n_obs_pathing=8 / n_obs_height=9 at :218-219), sampled from the
+        # per-map geometry grids at the reference's 8/9 surrounding points
         self.obs_pathing_grid = obs_pathing_grid
         self.obs_terrain_height = obs_terrain_height
         self.n_obs_pathing = 8
         self.n_obs_height = 9
-        self.terrain_height_value = 0.5
+        ma = self.core.move_amount
+        # point offsets from get_surrounding_points (starcraft2.py:985-1006)
+        self._surround = jnp.asarray(
+            [
+                (0, 2 * ma), (0, -2 * ma), (2 * ma, 0), (-2 * ma, 0),
+                (ma, ma), (-ma, -ma), (ma, -ma), (-ma, ma), (0, 0),
+            ],
+            jnp.float32,
+        )
 
         self.unit_type_bits = self.core.unit_type_bits
         self.shield_bits_ally = self.core.shield_bits
@@ -371,23 +421,25 @@ class FlatBattle:
 
         # ---- move + own ----
         move_feats = avail[:, :, 2:6].astype(jnp.float32)
-        if self.obs_pathing_grid:  # all-passable stand-in map: ones
-            move_feats = jnp.concatenate(
-                [move_feats, jnp.ones((B, Na, self.n_obs_pathing), jnp.float32)],
-                -1,
-            )
-        if self.obs_terrain_height:  # flat stand-in map: uniform height
-            move_feats = jnp.concatenate(
-                [
-                    move_feats,
-                    jnp.full(
-                        (B, Na, self.n_obs_height),
-                        self.terrain_height_value,
-                        jnp.float32,
-                    ),
-                ],
-                -1,
-            )
+        if self.obs_pathing_grid or self.obs_terrain_height:
+            # grid values at the surrounding points, out-of-bounds -> 1
+            # (reference get_surrounding_pathing/height, starcraft2.py:836-850)
+            pts = core.a_pos[:, :, None, :] + self._surround[None, None]  # (B,Na,9,2)
+            M = core_env.pathing_grid.shape[0]
+            xi = jnp.floor(pts[..., 0]).astype(jnp.int32)
+            yi = jnp.floor(pts[..., 1]).astype(jnp.int32)
+            inb = (xi >= 0) & (xi < M) & (yi >= 0) & (yi < M)
+            xi_c, yi_c = jnp.clip(xi, 0, M - 1), jnp.clip(yi, 0, M - 1)
+            if self.obs_pathing_grid:
+                pvals = jnp.where(
+                    inb, core_env.pathing_grid[xi_c, yi_c], True
+                ).astype(jnp.float32)
+                move_feats = jnp.concatenate(
+                    [move_feats, pvals[..., : self.n_obs_pathing]], -1
+                )
+            if self.obs_terrain_height:
+                hvals = jnp.where(inb, core_env.terrain_height[xi_c, yi_c], 1.0)
+                move_feats = jnp.concatenate([move_feats, hvals], -1)
         own = []
         if self.obs_own_health:
             hmax = core_env.health_max[core.a_type]

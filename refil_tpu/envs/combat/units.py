@@ -60,6 +60,11 @@ WEAPON_RANGE = np.array([UNIT_STATS[n][4] for n in UNIT_NAMES], _F)
 COOLDOWN_FRAMES = np.array([UNIT_STATS[n][5] for n in UNIT_NAMES], _F)
 SPEED = np.array([UNIT_STATS[n][6] for n in UNIT_NAMES], _F)
 IS_MEDIVAC = np.array([n == "Medivac" for n in UNIT_NAMES], bool)
+# units that ignore the walkability grid: flying (Medivac) and cliff-walking
+# (Colossus — the mechanic that defines 2c_vs_64zg)
+IGNORES_PATHING = np.array(
+    [n in ("Medivac", "Colossus") for n in UNIT_NAMES], bool
+)
 
 # Medivac healing model: ~12.6 hp/s in game; per 8-frame step at 22.4 fps
 # that is ~4.5 hp. Energy: 1 energy per 3 hp healed; passive regen 0.79/s.

@@ -160,9 +160,9 @@ def test_pathing_terrain_obs_blocks():
     state, obs = env.reset(jax.random.PRNGKey(0), 2)
     o = np.asarray(obs["obs"])
     assert o.shape[-1] == env.get_obs_size()
-    # alive agents see pathing ones then the uniform height constant
+    # 3m is an open flat map: pathing ones, uniform 0.5 height
     np.testing.assert_array_equal(o[:, :, 4:12], 1.0)
-    np.testing.assert_array_equal(o[:, :, 12:21], env.terrain_height_value)
+    np.testing.assert_array_equal(o[:, :, 12:21], 0.5)
     # masks track the longer move block: own rows cover it fully
     args = _args()
     obs_masks, _ = env.get_obs_st_masks(args)
@@ -189,3 +189,55 @@ def test_2s_vs_1sc_spine_crawler_is_static():
     # of its range 7, so no damage; now step toward it and check it can hurt
     assert np.asarray(state.core.e_health).sum() > 0
     assert np.asarray(state.core.a_health).sum() <= hp0
+
+
+def test_map_geometry_blocks_movement():
+    """Terrain-defined maps get real walkability: a unit walking into a wall
+    is stopped (or slides along it), avail moves respect the grid, and
+    cliff-walkers (Colossus) ignore it (reference can_move + pathing_grid,
+    starcraft2.py:791-808)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from refil_tpu.envs.combat import units as U
+    from refil_tpu.envs.combat.flat_env import FlatBattle, map_geometry
+
+    walk, height = map_geometry("corridor", 32.0)
+    assert not walk.all() and walk.any()
+    # corridor: band around center is only walkable inside the choke
+    assert walk[16, 16] and not walk[13, 5]
+
+    env = FlatBattle(map_name="corridor")
+    core = env.core
+    assert not core.trivial_pathing
+
+    # place a zealot right next to the wall inside the left chamber and try
+    # to walk east into the band (unwalkable at y=5): the x-move must be
+    # unavailable and a forced move must not cross
+    state, obs = env.reset(jax.random.PRNGKey(0), 1)
+    a_pos = np.array(state.core.a_pos)
+    a_pos[0, 0] = [11.5, 5.0]  # left chamber edge, off-corridor row
+    state = state._replace(core=state.core._replace(a_pos=jnp.asarray(a_pos)))
+    avail = env.get_avail_actions(state)
+    assert not bool(avail[0, 0, 4]), "east move should be blocked by the wall"
+    # force east anyway: pathing cancels/slides, x must not enter the band
+    st2, *_ = env.step(state, jnp.full((1, env.n_agents), 4, jnp.int32),
+                       jax.random.PRNGKey(1))
+    assert float(st2.core.a_pos[0, 0, 0]) < 12.0
+
+    # colossus ignores the cliff band on 2c_vs_64zg
+    env2 = FlatBattle(map_name="2c_vs_64zg")
+    assert bool(U.IGNORES_PATHING[np.asarray(env2.core.sc_j["ally_types"])[0, 0]])
+    state2, _ = env2.reset(jax.random.PRNGKey(0), 1)
+    p = np.array(state2.core.a_pos)
+    p[0, 0] = [14.5, 16.0]  # on the cliff edge
+    state2 = state2._replace(core=state2.core._replace(a_pos=jnp.asarray(p)))
+    avail2 = env2.get_avail_actions(state2)
+    assert bool(avail2[0, 0, 4]), "colossus cliff-walks: east must be available"
+
+    # terrain height feature reflects the high/low split
+    env3 = FlatBattle(map_name="2c_vs_64zg", obs_terrain_height=True)
+    st3, obs3 = env3.reset(jax.random.PRNGKey(0), 1)
+    hblock = np.asarray(obs3["obs"])[0, 0, 4:13]
+    assert hblock.min() >= 0.2 and set(np.round(hblock, 2)) <= {0.25, 0.5, 0.75, 1.0}
