@@ -38,10 +38,9 @@ def _build(batch_size_run: int):
     cfg = load_config(alg="refil_group_matching", env="group_matching")
     cfg["batch_size_run"] = batch_size_run
     args = config_to_args(args_sanity_check(cfg))
-    if jax.default_backend() != "cpu":
-        from refil_tpu.ops.attention import set_attention_impl
+    from refil_tpu.ops.attention import configure_attention_impl
 
-        set_attention_impl("pallas")
+    configure_attention_impl(True)
     args.entity_scheme = True
     env = GroupMatching(**cfg["env_args"])
     info = env.env_info()

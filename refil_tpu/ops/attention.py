@@ -42,6 +42,17 @@ def get_attention_impl() -> str:
     return _IMPL
 
 
+def configure_attention_impl(use_pallas: bool) -> str:
+    """THE single decision point for the kernel choice: the fused Pallas
+    kernel runs only when requested AND a non-CPU backend is live (on CPU it
+    would run in slow interpret mode; measured 1.5-2.2x faster than XLA on
+    TPU v5e, see bench history). Layers still fall back per-call when a
+    caller needs ``ret_attn_logits`` (the kernel does not emit logits)."""
+    impl = "pallas" if use_pallas and jax.default_backend() != "cpu" else "xla"
+    set_attention_impl(impl)
+    return impl
+
+
 def masked_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,

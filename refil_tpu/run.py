@@ -68,12 +68,9 @@ def run(config: Dict[str, Any]) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    if getattr(args, "use_pallas_attention", False) and jax.default_backend() != "cpu":
-        # measured 1.5-2.2x over the XLA path on TPU v5e (see bench history);
-        # interpret-mode on CPU would be slower, so fall back there
-        from .ops.attention import set_attention_impl
+    from .ops.attention import configure_attention_impl
 
-        set_attention_impl("pallas")
+    configure_attention_impl(bool(getattr(args, "use_pallas_attention", False)))
 
     logger.console_logger.info(
         "Experiment Parameters:\n\n%s\n", pprint.pformat(config, indent=4, width=1)
@@ -187,12 +184,19 @@ def evaluate_sequential(args, runner: VectorRunner, learner: QLearner,
     want_record = bool(args.video_path or args.save_replay) and can_render
 
     for i in range(n_scen):
+        # snapshot so only stats logged by THIS scenario's runs are scraped
+        # (a same-process eval after training must not leak training stats)
+        before = {k: len(v) for k, v in logger.stats.items()}
         for bi in range(n_test_batches):
             key, k = jax.random.split(key)
             runner.run(state.params["agent"], k, test_mode=True, test_scen=True,
                        index=i if args.eval_all_scen else None,
                        record=want_record and bi == 0 and i == 0)
-        curr_stats = {k: v[-1][1] for k, v in logger.stats.items()}
+        curr_stats = {
+            k: v[-1][1]
+            for k, v in logger.stats.items()
+            if len(v) > before.get(k, 0)
+        }
         if args.eval_all_scen:
             res_dict[runner.env.scenario_names[i]] = curr_stats
         else:

@@ -22,12 +22,13 @@ def main():
         for _ in range(pipe.warmup_blocks()):
             ps, _ = pipe.block(ps, train=False)
 
-        # rollout-only blocks
+        # rollout-only blocks (barrier on the WHOLE state, same as full
+        # blocks, so the two measurements are symmetric)
         ps, _ = pipe.run_blocks(ps, 10, train=False)
-        jax.block_until_ready(ps.buffer)
+        ps = jax.block_until_ready(ps)
         t0 = time.perf_counter()
         ps, _ = pipe.run_blocks(ps, 10, train=False)
-        jax.block_until_ready(ps.buffer)
+        ps = jax.block_until_ready(ps)
         dt_ro = (time.perf_counter() - t0) / 10
 
         # full blocks

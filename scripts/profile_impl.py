@@ -15,6 +15,8 @@ def run(impl: str, bsr: int):
     from refil_tpu.core.pipeline import FusedPipeline
     from refil_tpu.ops.attention import set_attention_impl
 
+    from refil_tpu.ops.attention import get_attention_impl
+
     args, runner, learner, state, key = bench._build(bsr)
     set_attention_impl(impl)  # after _build (which force-sets pallas on TPU)
     pipe = FusedPipeline(runner, learner, args.buffer_size, args)
@@ -23,6 +25,8 @@ def run(impl: str, bsr: int):
         ps, _ = pipe.block(ps, train=False)
 
     out = {}
+    # everything below traces lazily; the timed programs must see `impl`
+    assert get_attention_impl() == impl, (get_attention_impl(), impl)
     for train in (False, True):
         ps, _ = pipe.run_blocks(ps, 10, train=train)
         ps = jax.block_until_ready(ps)

@@ -28,6 +28,11 @@ def main():
     from refil_tpu.ops.attention import set_attention_impl
 
     impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    if impl == "pallas" and jax.default_backend() == "cpu":
+        # match bench._build: the Pallas kernel only runs (interpret-mode,
+        # slowly) on CPU — profile the XLA path there instead
+        print("CPU backend: profiling impl=xla (pallas is TPU-only)", flush=True)
+        impl = "xla"
     args, runner, learner, state, key = bench._build(8)
     set_attention_impl(impl)
 
