@@ -52,15 +52,66 @@ def test_gradients_match_xla():
     ents, wi, wo, bo, pre, post = _inputs(Bp=8)
 
     def loss_pallas(e, a, b, c):
-        with pltpu.force_tpu_interpret_mode():
-            out = pallas_attn.pallas_entity_attention(e, a, b, c, pre, post, 4)
+        out = pallas_attn.pallas_entity_attention(e, a, b, c, pre, post, 4)
         return (out ** 2).sum()
 
     def loss_xla(e, a, b, c):
         out = entity_attention(e, a, b, c, pre, post, 4)
         return (out ** 2).sum()
 
-    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(ents, wi, wo, bo)
+    # the backward kernel is traced at grad time: keep the whole grad call
+    # inside interpret mode
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(ents, wi, wo, bo)
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(ents, wi, wo, bo)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_backward_kernel_matches_xla():
+    """The fused backward kernel's gradients (dEntities + all weight grads,
+    accumulated across batch tiles) must match jax.grad of the XLA math."""
+    for Bp, heads, seed in ((8, 4, 0), (70, 2, 1)):  # 70: exercises tile padding
+        ents, wi, wo, bo, pre, post = _inputs(Bp=Bp, seed=seed)
+        pallas_attn.set_backward_impl("pallas")
+        try:
+            def loss_pallas(e, a, b, c):
+                out = pallas_attn.pallas_entity_attention(
+                    e, a, b, c, pre, post, heads
+                )
+                return (out ** 2).sum()
+
+            def loss_xla(e, a, b, c):
+                out = entity_attention(e, a, b, c, pre, post, heads)
+                return (out ** 2).sum()
+
+            with pltpu.force_tpu_interpret_mode():
+                g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(ents, wi, wo, bo)
+            g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(ents, wi, wo, bo)
+            for a, b in zip(g1, g2):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+                )
+        finally:
+            pallas_attn.set_backward_impl("pallas")
+
+
+def test_backward_impl_switch_xla_replay():
+    ents, wi, wo, bo, pre, post = _inputs(Bp=8)
+    pallas_attn.set_backward_impl("xla")
+    try:
+        def loss_pallas(e):
+            return (
+                pallas_attn.pallas_entity_attention(
+                    e, wi, wo, bo, pre, post, 4
+                ) ** 2
+            ).sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_pallas)(ents)
+        g2 = jax.grad(
+            lambda e: (entity_attention(e, wi, wo, bo, pre, post, 4) ** 2).sum()
+        )(ents)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+    finally:
+        pallas_attn.set_backward_impl("pallas")
