@@ -136,7 +136,9 @@ def _pallas_forward(entities, in_kernel, out_kernel, out_bias, pre_mask,
         row_ok,
         post_keep,
     )
-    return out[:Bp]
+    # kernel math runs in f32; return the caller's compute dtype so the
+    # custom-VJP dtype contract matches the XLA path (bf16 in -> bf16 out)
+    return out[:Bp].astype(entities.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -229,10 +231,15 @@ def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, pre_add_ref, row_ok_ref,
         dqs.append(bmm(dl, ks[h]) * scale)  # (TB, Nq, hd)
         dks.append(bmm_tl(dl, qs[h]) * scale)  # dl^T @ q: (TB, Ne, hd)
     dq = jnp.concatenate(dqs, axis=-1)  # (TB, Nq, E)
-    # q rows beyond Nq never feed the output -> zero gradient
-    dq_full = jnp.concatenate(
-        [dq, jnp.zeros((TB, Ne - Nq, E), jnp.float32)], axis=1
-    )
+    # q rows beyond Nq never feed the output -> zero gradient (all-queries
+    # callers like the mixer hypernets have Nq == Ne: nothing to pad, and a
+    # 0-sized vector would be rejected by Mosaic)
+    if Ne > Nq:
+        dq_full = jnp.concatenate(
+            [dq, jnp.zeros((TB, Ne - Nq, E), jnp.float32)], axis=1
+        )
+    else:
+        dq_full = dq
     dqkv = jnp.concatenate(
         [dq_full, jnp.concatenate(dks, -1), jnp.concatenate(dvs, -1)], axis=-1
     )  # (TB, Ne, 3E)

@@ -40,7 +40,8 @@ def test_checkpoint_roundtrip(tmp_path):
     assert not os.path.exists(os.path.join(path, "state.msgpack.tmp"))
 
     fresh = learner.init_state(jax.random.PRNGKey(42), batch)
-    restored = _load_checkpoint(path, fresh)
+    restored, pipe_payload = _load_checkpoint(path, fresh)
+    assert pipe_payload is None  # no pipeline state was saved
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(

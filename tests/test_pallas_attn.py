@@ -115,3 +115,63 @@ def test_backward_impl_switch_xla_replay():
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
     finally:
         pallas_attn.set_backward_impl("pallas")
+
+
+def test_backward_all_queries_case():
+    """Mixer hypernets attend with Nq == Ne (every entity is a query): the
+    backward kernel must handle the no-padding dq case."""
+    k = jax.random.split(jax.random.PRNGKey(7), 6)
+    Bp, Ne, D, E = 12, 6, 10, 16
+    ents = jax.random.normal(k[0], (Bp, Ne, D))
+    wi = jax.random.normal(k[1], (D, 3 * E)) * 0.2
+    wo = jax.random.normal(k[2], (E, E)) * 0.2
+    bo = jax.random.normal(k[3], (E,)) * 0.1
+    pre = jax.random.bernoulli(k[4], 0.3, (Bp, Ne, Ne))
+    post = jax.random.bernoulli(k[5], 0.2, (Bp, Ne))  # Nq == Ne
+
+    def loss_p(e, a, b, c):
+        return (
+            pallas_attn.pallas_entity_attention(e, a, b, c, pre, post, 4) ** 2
+        ).sum()
+
+    def loss_x(e, a, b, c):
+        return (entity_attention(e, a, b, c, pre, post, 4) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_p, argnums=(0, 1, 2, 3))(ents, wi, wo, bo)
+    g2 = jax.grad(loss_x, argnums=(0, 1, 2, 3))(ents, wi, wo, bo)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_bfloat16_dtype_contract():
+    """bf16 inputs -> bf16 output (same dtype contract as the XLA path), and
+    both backward impls accept the bf16 cotangent."""
+    ents, wi, wo, bo, pre, post = _inputs(Bp=8)
+    cast = lambda x: x.astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_attn.pallas_entity_attention(
+            cast(ents), cast(wi), cast(wo), cast(bo), pre, post, 4
+        )
+    assert out.dtype == jnp.bfloat16
+    ref = entity_attention(cast(ents), cast(wi), cast(wo), cast(bo), pre, post, 4)
+    assert ref.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.15
+    )
+    for impl in ("pallas", "xla"):
+        pallas_attn.set_backward_impl(impl)
+        try:
+            def loss(e):
+                return (
+                    pallas_attn.pallas_entity_attention(
+                        e, cast(wi), cast(wo), cast(bo), pre, post, 4
+                    ).astype(jnp.float32) ** 2
+                ).sum()
+
+            with pltpu.force_tpu_interpret_mode():
+                g = jax.grad(loss)(cast(ents))
+            assert g.dtype == jnp.bfloat16
+            assert np.isfinite(np.asarray(g, np.float32)).all()
+        finally:
+            pallas_attn.set_backward_impl("pallas")
