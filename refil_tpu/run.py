@@ -15,6 +15,7 @@ import datetime
 import json
 import os
 import pprint
+import signal
 import time
 from os.path import abspath, dirname, join
 from typing import Any, Dict, Optional
@@ -33,6 +34,35 @@ from .runners.vector_runner import VectorRunner
 from .utils.logging import Logger, get_logger
 from .utils.profiling import PhaseTimer
 from .utils.timehelper import time_left, time_str
+
+
+class PreemptionGuard:
+    """Graceful preemption for TPU VMs: SIGTERM (the cloud eviction notice)
+    sets a flag; the training loop finishes the in-flight block, writes an
+    exact-resume checkpoint and returns cleanly, so a preempted run restarts
+    from the eviction point with ``checkpoint_path=``. New capability vs the
+    reference, whose only failure handling is the SC2-process boundary
+    (``try_controller_step``, ``starcraft2custom.py:579-594``) — a killed
+    reference run loses buffer/RNG/optimizer progress entirely."""
+
+    def __init__(self, console_logger=None):
+        self.requested = False
+        self._logger = console_logger
+
+    def install(self):
+        def _handler(signum, frame):
+            self.requested = True
+            if self._logger is not None:
+                self._logger.info(
+                    "SIGTERM received — writing exact-resume checkpoint after "
+                    "the in-flight block, then exiting"
+                )
+
+        try:
+            signal.signal(signal.SIGTERM, _handler)
+        except ValueError:
+            pass  # not the main thread (embedded/test use) — guard stays inert
+        return self
 
 
 def build_env(args):
@@ -313,6 +343,10 @@ def run_sequential(args, logger: Logger) -> None:
 
     logger.console_logger.info("Beginning training for %s timesteps", args.t_max)
 
+    guard = PreemptionGuard(logger.console_logger)
+    if bool(getattr(args, "handle_preemption", True)):
+        guard.install()
+
     # fused on-device pipeline (one dispatch per episode block) unless the
     # user opts out; gt diagnostics are traced into the block when requested
     use_fused = bool(getattr(args, "use_fused_pipeline", True)) and not bool(
@@ -320,7 +354,8 @@ def run_sequential(args, logger: Logger) -> None:
     )
     if use_fused:
         _run_fused_loop(args, runner, learner, state, logger, key, timer,
-                        start_time, mesh=mesh, pipe_payload=pipe_payload)
+                        start_time, mesh=mesh, pipe_payload=pipe_payload,
+                        guard=guard)
         logger.console_logger.info("Finished Training")
         return
 
@@ -402,11 +437,24 @@ def run_sequential(args, logger: Logger) -> None:
             logger.print_recent_stats()
             last_log_T = runner.t_env
 
+        if guard.requested:
+            save_path = join(
+                args.local_results_path, "models", args.unique_token,
+                str(runner.t_env),
+            )
+            _save_checkpoint(save_path, state)
+            logger.console_logger.info(
+                "Preempted at t_env=%d: checkpoint written to %s",
+                runner.t_env, save_path,
+            )
+            break
+
     logger.console_logger.info("Finished Training")
 
 
 def _run_fused_loop(args, runner, learner, state, logger, key, timer,
-                    start_time, mesh=None, pipe_payload=None) -> None:
+                    start_time, mesh=None, pipe_payload=None,
+                    guard=None) -> None:
     """Training loop over the fused on-device pipeline: one dispatch per
     episode block (rollout + insert + sample + train iters + target sync in a
     single donated jit, ``core/pipeline.py``). Host code is reduced to stats
@@ -496,6 +544,21 @@ def _run_fused_loop(args, runner, learner, state, logger, key, timer,
             logger.log_stat("episode", episode, runner.t_env)
             logger.print_recent_stats()
             last_log_T = runner.t_env
+
+        if guard is not None and guard.requested:
+            save_path = join(
+                args.local_results_path, "models", args.unique_token,
+                str(runner.t_env),
+            )
+            _save_checkpoint(
+                save_path, ps.train, pstate=ps,
+                include_buffer=bool(getattr(args, "preempt_save_buffer", True)),
+            )
+            logger.console_logger.info(
+                "Preempted at t_env=%d: exact-resume checkpoint written to %s",
+                runner.t_env, save_path,
+            )
+            break
 
 
 def _dummy_batch(mac, env_info) -> Dict[str, jnp.ndarray]:
