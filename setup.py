@@ -7,4 +7,6 @@ setup(
     packages=find_packages(include=["refil_tpu", "refil_tpu.*"]),
     package_data={"refil_tpu": ["config/*.yaml", "config/algs/*.yaml", "config/envs/*.yaml"]},
     python_requires=">=3.10",
+    install_requires=["jax", "flax", "optax", "numpy", "PyYAML"],
+    extras_require={"test": ["pytest", "chex"]},
 )
