@@ -37,6 +37,8 @@ def _build(batch_size_run: int):
 
     cfg = load_config(alg="refil_group_matching", env="group_matching")
     cfg["batch_size_run"] = batch_size_run
+    # at large env batches keep the replay ring at least one block deep
+    cfg["buffer_size"] = max(cfg["buffer_size"], batch_size_run)
     args = config_to_args(args_sanity_check(cfg))
     from refil_tpu.ops.attention import configure_attention_impl
 
@@ -181,12 +183,60 @@ def _build_combat(batch_size_run: int, scenario: str = "3-8sz_symmetric"):
     return args, runner, learner, state, key
 
 
-def bench_combat(n_blocks: int = 10, batch_size_run: int = 256):
+def _combat_flops_per_block(args, info, n_blocks: int = 1) -> float:
+    """Analytic FLOPs executed per episode block, from the known matmul
+    shapes (VERDICT r1 item 3). Counts only the dominant matmuls — attention
+    projections/scores, fc layers, GRU, mixer hypernets — so the resulting
+    MFU is a conservative lower bound (elementwise ops, masks and the env
+    itself are excluded). Backward = 2x forward. The fused pipeline computes
+    the full static T regardless of episode fill, so T = episode_limit + 1
+    slots (that is what the chip executes)."""
+    Na = info["n_agents"]
+    Ne = info["n_entities"]
+    A = info["n_actions"]
+    D = info["entity_shape"] + (A if getattr(args, "entity_last_action", False) else 0)
+    h = args.attn_embed_dim
+    H = args.rnn_hidden_dim
+    he = args.hypernet_embed
+    T = info["episode_limit"] + 1
+    # one agent-net forward, per (sample, timestep):
+    F_agent = (
+        2 * Ne * D * h          # fc1
+        + 2 * Ne * h * 3 * h    # fused QKV in_proj over all entities
+        + 2 * Na * Ne * h       # scores
+        + 2 * Na * Ne * h       # attn @ V
+        + 2 * Na * h * h        # out proj
+        + 2 * Na * h * H        # fc2
+        + 12 * Na * H * H       # GRU (3 input + 3 recurrent h x h matmuls)
+        + 2 * Na * H * A        # fc3
+    )
+    # one AttentionHyperNet pass (all-entity queries), per (sample, timestep):
+    F_hyper = (
+        2 * Ne * D * he
+        + 2 * Ne * he * 3 * he
+        + 2 * Ne * Ne * he * 2
+        + 2 * Ne * he * he
+        + 2 * Ne * he * args.mixing_embed_dim
+    )
+    F_mixer = 4 * F_hyper  # w1, b1, w_final, V
+    # per train iteration, per (sample, timestep), in forward-equivalents
+    # (backward = 2x): live imagine = x3 tiling fwd + bwd -> 9 F_agent,
+    # target fwd -> 1; mixer: live normal (1) + live imagine (w1 twice ->
+    # 1.5) fwd + bwd -> 7.5 F_mixer, target -> 1
+    train = args.training_iters * args.batch_size * T * (
+        10 * F_agent + 8.5 * F_mixer
+    )
+    rollout = args.batch_size_run * T * F_agent
+    return float(n_blocks) * (rollout + train)
+
+
+def bench_combat(n_blocks: int = 10, batch_size_run: int = 512):
     """Combat-env training throughput + achieved FLOPs/s + MFU.
 
-    FLOPs come from XLA's own cost analysis of the compiled fused-block
-    program (no hand model); MFU divides by the chip's bf16 MXU peak, so with
-    the default float32 compute dtype it is a conservative lower bound.
+    FLOPs come from the analytic matmul-shape model above (XLA's compiled
+    cost analysis cannot see inside Pallas kernels or scan trip counts, so
+    it wildly under-counts this program); MFU divides by the chip's bf16 MXU
+    peak, so with the default float32 compute dtype it is doubly conservative.
     """
     import jax
 
@@ -198,12 +248,8 @@ def bench_combat(n_blocks: int = 10, batch_size_run: int = 256):
     for _ in range(pipe.warmup_blocks()):
         ps, _ = pipe.block(ps, train=False)
 
-    lowered = pipe._blocks.lower(ps, n_blocks, True)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis() or {}
-    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
-        cost = cost[0] if cost else {}
-    program_flops = float(cost.get("flops", 0.0))
+    info = runner.env.env_info()
+    program_flops = _combat_flops_per_block(args, info, n_blocks)
 
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)  # warm/compile cache
     ps = jax.block_until_ready(ps)
@@ -331,9 +377,10 @@ def bench_reference_proxy(n_blocks: int = 6) -> float:
 
 
 def main():
-    # default env batch 512: same algorithm/config, TPU-native env batching
-    # (the framework's design point; 8 reproduces the reference's env count)
-    batch_size_run = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # default env batch 4096: same algorithm/config, TPU-native env batching
+    # at the chip's best operating point (results/perf_matrix_r2.txt: ~4x the
+    # B=512 throughput; 8 reproduces the reference's env count)
+    batch_size_run = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     # the proxy runs FIRST: once JAX's (tunneled TPU) runtime is up, its
     # threads contend with torch on the host CPU and skew the baseline low
     if "--no-proxy" in sys.argv:
