@@ -43,6 +43,26 @@ class EntityEnv(Protocol):
 
 ENV_REGISTRY: Dict[str, Any] = {}
 
+_warned_env_args: set = set()
+
+
+def warn_unused_env_args(env_name: str, unused: Dict[str, Any],
+                         accepted: Tuple[str, ...] = ()) -> None:
+    """Warn once per env class about ``env_args`` keys the env does not
+    consume. Keys in ``accepted`` are reference config keys with no stand-in
+    analogue (SC2 binary/process options etc.) and stay silent; anything else
+    is surfaced so a config knob can never be silently ignored."""
+    unknown = sorted(k for k in unused if k not in accepted)
+    if not unknown or (env_name, tuple(unknown)) in _warned_env_args:
+        return
+    _warned_env_args.add((env_name, tuple(unknown)))
+    import logging
+
+    logging.getLogger("refil_tpu").warning(
+        "%s: ignoring unrecognized env_args %s (accepted-but-inert reference "
+        "keys are: %s)", env_name, unknown, sorted(accepted),
+    )
+
 
 def register_env(name: str):
     def deco(cls):

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..base import register_env
+from ..base import register_env, warn_unused_env_args
 from . import units as U
 from .scenarios import CompiledScenarios, compile_scenarios
 
@@ -91,6 +91,20 @@ class EntityBattle:
         **unused,
     ):
         assert entity_scheme, "EntityBattle only supports the entity scheme"
+        # reference sc2custom.yaml keys with no stand-in analogue (SC2
+        # binary/process options, flat-scheme obs flags inert under the entity
+        # scheme); anything NOT in this list warns instead of vanishing
+        warn_unused_env_args(
+            "EntityBattle", unused,
+            accepted=(
+                "continuing_episode", "difficulty", "game_version", "seed",
+                "replay_dir", "replay_prefix", "debug", "heuristic_ai",
+                "heuristic_rest", "obs_all_health", "obs_instead_of_state",
+                "obs_own_health", "obs_last_action", "obs_pathing_grid",
+                "obs_terrain_height", "obs_timestep_number",
+                "state_last_action", "state_timestep_number",
+            ),
+        )
         self.sc = compile_scenarios(scenario_dict)
         self.scenario_names = self.sc.names
         self.rotate = bool(scenario_dict.get("rotate", False))

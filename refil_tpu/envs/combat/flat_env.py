@@ -134,6 +134,7 @@ class FlatBattle:
         obs_all_health: bool = True,
         obs_own_health: bool = True,
         obs_last_action: bool = False,
+        obs_instead_of_state: bool = False,
         state_last_action: bool = True,
         state_timestep_number: bool = False,
         obs_timestep_number: bool = False,
@@ -173,6 +174,9 @@ class FlatBattle:
         self.obs_all_health = obs_all_health
         self.obs_own_health = obs_own_health or obs_all_health
         self.obs_last_action = obs_last_action
+        # replace the global state with the concatenated agent observations
+        # (reference starcraft2.py:1148-1153, size :1276-1279)
+        self.obs_instead_of_state = obs_instead_of_state
         self.state_last_action = state_last_action
         self.state_timestep_number = state_timestep_number
         self.obs_timestep_number = obs_timestep_number
@@ -257,6 +261,8 @@ class FlatBattle:
         return 3 + self.shield_bits_enemy + self.unit_type_bits
 
     def get_state_size(self) -> int:
+        if self.obs_instead_of_state:
+            return self.get_obs_size() * self.n_agents
         size = self.n_agents * self.nf_al_state + self.n_enemies * self.nf_en_state
         if self.state_last_action:
             size += self.n_agents * self.n_actions
@@ -477,6 +483,15 @@ class FlatBattle:
         # dead agents observe zeros (reference get_obs_agent: unit.health > 0)
         obs = obs * a_alive[..., None]
 
+        if self.obs_instead_of_state:
+            # state = concatenated per-agent observations
+            # (reference starcraft2.py:1148-1153)
+            return {
+                "obs": obs,
+                "state": obs.reshape(B, -1),
+                "avail_actions": avail,
+            }
+
         # ---- global state (reference get_state:1144-1240) ----
         ctr = core_env.center
         msz = core_env.map_size
@@ -543,6 +558,7 @@ class FlatBattle:
         if getattr(args, "obs_agent_id", False):
             obs_size += Na
         obs_masks = np.zeros((Na + Ne, Na, obs_size), np.float32)
+        raw_masks = np.zeros((Na + Ne, Na, self.get_obs_size()), np.float32)
         for i in range(Na + Ne):
             ally = i < Na
             for j in range(Na):
@@ -561,11 +577,23 @@ class FlatBattle:
                 else:
                     en[i - Na] = 1
                 cur = np.concatenate([move, en.ravel(), al.ravel(), ownm])
+                raw_masks[i, j] = cur
                 if getattr(args, "obs_last_action", False):
                     cur = np.append(cur, last_ac)
                 if getattr(args, "obs_agent_id", False):
                     cur = np.append(cur, agent_id)
                 obs_masks[i, j] = cur
+
+        if self.obs_instead_of_state:
+            # the state IS the concatenated raw agent observations, so the
+            # per-entity state masks are the raw obs masks laid end to end.
+            # Divergence from reference starcraft2.py:928-930, which reshapes
+            # the agent-INPUT masks (obs ++ last-action ++ agent-id blocks):
+            # that width only matches the state when obs_last_action and
+            # obs_agent_id are both off — with either on, the reference's
+            # mixer would crash on the width mismatch. We mask the raw-obs
+            # state the env actually serves.
+            return obs_masks, raw_masks.reshape(Na + Ne, -1)
 
         state_masks = np.zeros((Na + Ne, self.get_state_size()), np.float32)
         for i in range(Na + Ne):

@@ -31,7 +31,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .base import register_env
+from .base import register_env, warn_unused_env_args
 
 
 class GroupMatchingState(NamedTuple):
@@ -55,6 +55,7 @@ class GroupMatching:
         **unused,
     ):
         assert entity_scheme, "This environment only supports the entity scheme"
+        warn_unused_env_args("GroupMatching", unused, accepted=("seed",))
         self.n_agents = n_agents
         self.n_states = n_states
         self.n_groups = n_groups

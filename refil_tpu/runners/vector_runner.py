@@ -125,9 +125,12 @@ class VectorRunner:
                 return multinomial(k, q, avail, test_greedy, test)
             return epsilon_greedy(k, q, avail, epsilon)
 
-        heuristic = bool(getattr(self.args, "heuristic_ai", False)) and hasattr(
-            env, "heuristic_actions"
-        )
+        # the reference ships this knob under env_args (sc2custom.yaml);
+        # honor both spellings so neither silently no-ops
+        heuristic = (
+            bool(getattr(self.args, "heuristic_ai", False))
+            or bool(getattr(self.args, "env_args", {}).get("heuristic_ai", False))
+        ) and hasattr(env, "heuristic_actions")
 
         def step_fn(carry, kt):
             state, obs, hidden, alive, last_oh, ep_ret, ep_len, final_info = carry

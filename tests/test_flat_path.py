@@ -241,3 +241,69 @@ def test_map_geometry_blocks_movement():
     st3, obs3 = env3.reset(jax.random.PRNGKey(0), 1)
     hblock = np.asarray(obs3["obs"])[0, 0, 4:13]
     assert hblock.min() >= 0.2 and set(np.round(hblock, 2)) <= {0.25, 0.5, 0.75, 1.0}
+
+
+def test_obs_instead_of_state():
+    """obs_instead_of_state replaces the global state with the concatenated
+    agent observations (reference starcraft2.py:1148-1153, size :1276-1279);
+    the per-entity state masks follow the raw obs layout."""
+    env = FlatBattle(map_name="3m", episode_limit=8, obs_instead_of_state=True)
+    base = FlatBattle(map_name="3m", episode_limit=8)
+    assert env.get_state_size() == env.get_obs_size() * env.n_agents
+    assert env.get_state_size() != base.get_state_size()
+
+    state, obs = env.reset(jax.random.PRNGKey(0), 2)
+    np.testing.assert_array_equal(
+        np.asarray(obs["state"]),
+        np.asarray(obs["obs"]).reshape(2, -1),
+    )
+    key = jax.random.PRNGKey(1)
+    st2, obs2, *_ = env.step(
+        state, jnp.ones((2, env.n_agents), jnp.int32), key
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs2["state"]), np.asarray(obs2["obs"]).reshape(2, -1)
+    )
+
+    args = _args()
+    obs_masks, state_masks = env.get_obs_st_masks(args)
+    assert state_masks.shape == (env.n_agents * 2, env.get_state_size())
+    # every raw-obs state element is attributed to at least one entity slot
+    # owning it is not guaranteed (enemy cols absent when dead etc.), but the
+    # own-agent diagonal must cover move+own blocks of its own obs segment
+    own = state_masks[0, : env.get_obs_size()]
+    assert own[:4].all()
+
+    # end-to-end through the flat QMixer imagined split
+    info = env.env_info(args)
+    args.n_agents = info["n_agents"]
+    args.n_actions = info["n_actions"]
+    args.state_shape = info["state_shape"]
+    args.obs_masks, args.state_masks = info["masks"]
+    mac = MAC_REGISTRY["basic_mac"](args, info)
+    key = jax.random.PRNGKey(0)
+    learner = QLearner(mac, args, info, key)
+    tstate = learner.init_state(key, _dummy_batch(mac, info))
+    runner = VectorRunner(env, mac, args, logger=None)
+    batch = runner.run(tstate.params["agent"], key)
+    assert batch["state"].shape[-1] == info["state_shape"]
+    big = jax.tree.map(lambda x: jnp.concatenate([x] * 11, 0)[:32], batch)
+    _, metrics = learner.train(tstate, big, key, 0, 0)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_warn_unused_env_args(caplog):
+    """Unknown env_args keys warn instead of vanishing; accepted reference
+    keys with no stand-in analogue stay silent."""
+    import logging
+
+    from refil_tpu.envs.group_matching import GroupMatching
+
+    with caplog.at_level(logging.WARNING, logger="refil_tpu"):
+        GroupMatching(n_agents=3, n_states=4, definitely_not_a_knob=1)
+    assert any("definitely_not_a_knob" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="refil_tpu"):
+        FlatBattle(map_name="3m", continuing_episode=False, debug=False)
+    assert not caplog.records
