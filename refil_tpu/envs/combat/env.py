@@ -221,7 +221,7 @@ class EntityBattle:
         )
 
     # ------------------------------------------------------------------
-    final_info_keys = ("battle_won",)
+    final_info_keys = ("battle_won", "episode_limit")
 
     def env_info(self) -> Dict[str, Any]:
         """Reference ``get_env_info`` (``starcraft2custom.py:1876-1889``)."""

@@ -206,7 +206,7 @@ class FlatBattle:
             idx[i, : self.n_agents - 1] = [j for j in range(self.n_agents) if j != i]
         self._offdiag = jnp.asarray(idx)
 
-    final_info_keys = ("battle_won",)
+    final_info_keys = ("battle_won", "episode_limit")
 
     # --- sizes (reference get_obs_size:1244-1271 / get_state_size:1274-1289) ---
     @property

@@ -71,6 +71,14 @@ class VectorRunner:
         self.test_stats: Dict[str, float] = {}
         self.train_returns: list = []
         self.test_returns: list = []
+        # cumulative env stats (reference get_stats surface,
+        # starcraft2custom.py:1865-1874): the reference env object accumulates
+        # these across its lifetime; our envs are stateless pytree programs,
+        # so the runner owns the counters. ``restarts`` stays 0 by
+        # construction — a pure-function env cannot crash mid-episode.
+        self.battles_won = 0
+        self.battles_game = 0
+        self.timeouts = 0
         self.log_train_stats_t = -1000000
         # `index` is traced (scenario id as data) so per-scenario eval does not
         # recompile; batch_size/test/record change program structure and stay
@@ -304,6 +312,13 @@ class VectorRunner:
         log_prefix = "test_" if test_mode else ""
         for k, v in final_info.items():
             cur_stats[k] = float(v.sum()) + cur_stats.get(k, 0.0)
+        if "battle_won" in final_info:
+            # cumulative battle stats over the run (train AND test episodes,
+            # like the reference's env-lifetime counters)
+            self.battles_won += int(final_info["battle_won"].sum())
+            self.battles_game += self.batch_size
+            if "episode_limit" in final_info:
+                self.timeouts += int(final_info["episode_limit"].sum())
         cur_stats["n_episodes"] = self.batch_size + cur_stats.get("n_episodes", 0)
         cur_stats["ep_length"] = float(ep_lengths.sum()) + cur_stats.get("ep_length", 0.0)
         cur_returns.extend(ep_returns.tolist())
@@ -320,7 +335,23 @@ class VectorRunner:
             ):
                 self._log(cur_returns, cur_stats, log_prefix)
                 self.logger.log_stat("epsilon", self.epsilon, self.t_env)
+                if self.battles_game:
+                    for k, v in self.env_stats().items():
+                        self.logger.log_stat(k, v, self.t_env)
                 self.log_train_stats_t = self.t_env
+
+    def env_stats(self) -> Dict[str, float]:
+        """Cumulative env stats with the reference's names
+        (``starcraft2custom.py:1865-1874``); ``restarts`` is structurally 0
+        for the pure-function envs (parity key kept for drop-in dashboards)."""
+        return {
+            "battles_won": float(self.battles_won),
+            "battles_game": float(self.battles_game),
+            "battles_draw": float(self.timeouts),
+            "win_rate": self.battles_won / max(self.battles_game, 1),
+            "timeouts": float(self.timeouts),
+            "restarts": 0.0,
+        }
 
     def _log(self, returns, stats, prefix):
         self.logger.log_stat(prefix + "return_mean", float(np.mean(returns)), self.t_env)

@@ -116,3 +116,50 @@ def test_rnn_agent_rollout_hidden_threading():
     runner = VectorRunner(env, mac, args, logger=None)
     batch = runner.run(params, jax.random.PRNGKey(1))
     assert batch["entities"].shape[1] == 5
+
+
+def test_cumulative_env_stats_surface():
+    """The runner accumulates the reference's cumulative battle stats
+    (get_stats surface, starcraft2custom.py:1865-1874): battles_won,
+    battles_game, win_rate, timeouts; restarts stays 0 by construction."""
+    from refil_tpu.envs.combat.scenarios import fixed_armies
+    from refil_tpu.envs.combat.env import EntityBattle
+    from refil_tpu.learners.q_learner import QLearner  # noqa: F401 (import path check)
+
+    env = EntityBattle(
+        scenario_dict=fixed_armies(
+            [(2, "Marine")], [(2, "Marine")], episode_limit=5
+        ),
+        episode_limit=5,
+    )
+    info = env.env_info()
+    args = Args(
+        batch_size_run=4, epsilon_start=1.0, epsilon_finish=1.0,
+        epsilon_anneal_time=10, test_nepisode=4, runner_log_interval=10**9,
+        attn_embed_dim=8, attn_n_heads=2, rnn_hidden_dim=8,
+        agent="entity_attend_ff", entity_last_action=False, obs_agent_id=False,
+        obs_last_action=False, pooling_type=None, double_q=True,
+        agent_output_type="q", action_selector="epsilon_greedy",
+        test_greedy=True,
+    )
+    args.n_agents = info["n_agents"]
+    args.n_actions = info["n_actions"]
+    args.n_entities = info["n_entities"]
+    args.entity_shape = info["entity_shape"]
+    args.gt_mask_avail = info.get("gt_mask_avail", False)
+    mac = EntityMAC(args, info)
+    params = mac.init_params(jax.random.PRNGKey(0))
+    runner = VectorRunner(env, mac, args, logger=None)
+
+    runner.run(params, jax.random.PRNGKey(1))
+    runner.run(params, jax.random.PRNGKey(2), test_mode=True)
+    st = runner.env_stats()
+    # two blocks of 4 episodes each (train AND test count, like the
+    # reference's env-lifetime counters)
+    assert st["battles_game"] == 8
+    assert 0 <= st["battles_won"] <= 8
+    assert 0 <= st["timeouts"] <= 8
+    assert st["win_rate"] == st["battles_won"] / 8
+    assert st["restarts"] == 0.0
+    # a 5-step cap on a 2v2 marine fight: most episodes time out
+    assert st["timeouts"] >= 1
