@@ -1,6 +1,6 @@
 """Generate committed golden GroupMatching trajectories for seed parity.
 
-Runs the host RandomState twin (``refil_tpu/envs/group_matching_host.py``)
+Runs the host RandomState twin (``tests/group_matching_host.py``)
 under fixed seeds with a deterministic action policy (a SEPARATE RandomState,
 so the env stream is untouched) and writes per-seed npz files to
 ``tests/golden/``. When the reference checkout is present it also runs the
@@ -15,9 +15,11 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, 'tests'))
 
-from refil_tpu.envs.group_matching_host import RandomStateGroupMatching
+from group_matching_host import RandomStateGroupMatching
 
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
