@@ -53,9 +53,11 @@ class PreemptionGuard:
         def _handler(signum, frame):
             self.requested = True
             if self._logger is not None:
+                # exactness depends on the loop: the fused pipeline saves RNG/
+                # counters/ring (exact); the classic loop saves model+opt only
                 self._logger.info(
-                    "SIGTERM received — writing exact-resume checkpoint after "
-                    "the in-flight block, then exiting"
+                    "SIGTERM received — writing checkpoint after the "
+                    "in-flight block, then exiting"
                 )
 
         try:
@@ -120,13 +122,19 @@ def run(config: Dict[str, Any]) -> None:
 
 
 def _save_checkpoint(path: str, state: TrainState, pstate=None,
-                     include_buffer: bool = False) -> None:
+                     include_buffer: bool = False, logger=None) -> None:
     """Write a checkpoint. With ``pstate`` (a ``PipelineState``) the fused
     pipeline's mutable state is saved too — RNG key, t_env/episode/target-sync
     counters, and (behind ``include_buffer``, it can be GBs) the replay ring —
     making resume exact. The reference only saves model weights and
-    acknowledges approximate resume (``q_learner.py:222-225``)."""
-    os.makedirs(path, exist_ok=True)
+    acknowledges approximate resume (``q_learner.py:222-225``).
+
+    Multi-host: the replay ring is sharded over the data axis, so each
+    process only addresses its shard — the ring is all-gathered to host 0
+    (a collective: every process must call this function) and only process 0
+    writes. If the gather fails the save degrades to buffer-less with a
+    warning rather than crashing the eviction path."""
+    multiproc = jax.process_count() > 1
     blob = {"params": state.params, "target": state.target_params,
             "opt": state.opt_state}
     if pstate is not None:
@@ -139,8 +147,26 @@ def _save_checkpoint(path: str, state: TrainState, pstate=None,
             "key": pstate.key,
         }
         if include_buffer:
-            pipe["buffer"] = pstate.buffer
+            buf = pstate.buffer
+            if multiproc:
+                try:
+                    from jax.experimental import multihost_utils
+
+                    buf = multihost_utils.process_allgather(buf, tiled=True)
+                except Exception as e:  # pragma: no cover - env-specific
+                    if logger is not None:
+                        logger.warning(
+                            "replay-ring all-gather failed (%s): saving a "
+                            "buffer-less checkpoint (resume will refill the "
+                            "ring before training)", e,
+                        )
+                    buf = None
+            if buf is not None:
+                pipe["buffer"] = buf
         blob["pipeline"] = pipe
+    if multiproc and jax.process_index() != 0:
+        return  # all processes joined the gather; only process 0 writes
+    os.makedirs(path, exist_ok=True)
     payload = flax.serialization.msgpack_serialize(
         flax.serialization.to_state_dict(jax.device_get(blob))
     )
@@ -197,6 +223,15 @@ def restore_pipeline_state(ps, payload, mesh=None):
         scalars = mesh.replicate(scalars)
         updates.update(scalars)
     return ps._replace(**updates)
+
+
+def resume_warmup_blocks(args, ps) -> int:
+    """Rollout-only blocks still needed after restoring a replay ring: a
+    resume from a mid-warmup preemption must finish filling the ring before
+    training (the reference's ``can_sample`` gate, ``episode_buffer.py:236``)
+    — zeroing warmup unconditionally would sample unwritten slots."""
+    missing = int(args.batch_size) - int(ps.episodes_in_buffer)
+    return max(0, -(-missing // int(args.batch_size_run)))
 
 
 def evaluate_sequential(args, runner: VectorRunner, learner: QLearner,
@@ -473,7 +508,7 @@ def _run_fused_loop(args, runner, learner, state, logger, key, timer,
         # the replay ring) onto the fresh template — exact resume
         ps = restore_pipeline_state(ps, pipe_payload, mesh)
         if "buffer" in pipe_payload:
-            warm = 0  # ring contents restored; no refill needed
+            warm = resume_warmup_blocks(args, ps)
         logger.console_logger.info(
             "Restored pipeline state: t_env=%d episode=%d buffer=%s",
             int(ps.t_env), int(ps.episode),
@@ -538,6 +573,7 @@ def _run_fused_loop(args, runner, learner, state, logger, key, timer,
             _save_checkpoint(
                 save_path, ps.train, pstate=ps,
                 include_buffer=bool(getattr(args, "checkpoint_buffer", False)),
+                logger=logger.console_logger,
             )
 
         if (runner.t_env - last_log_T) >= args.log_interval:
@@ -553,6 +589,7 @@ def _run_fused_loop(args, runner, learner, state, logger, key, timer,
             _save_checkpoint(
                 save_path, ps.train, pstate=ps,
                 include_buffer=bool(getattr(args, "preempt_save_buffer", True)),
+                logger=logger.console_logger,
             )
             logger.console_logger.info(
                 "Preempted at t_env=%d: exact-resume checkpoint written to %s",

@@ -138,3 +138,57 @@ def test_pipeline_state_roundtrip(tmp_path):
         losses_resumed.append(float(stats["metrics"]["loss"]))
 
     assert losses_orig == losses_resumed
+
+
+def test_resume_warmup_from_partial_ring(tmp_path):
+    """A checkpoint taken mid-warmup restores a partially filled ring; resume
+    must derive the remaining warmup blocks from episodes_in_buffer instead
+    of training immediately on unwritten slots."""
+    from refil_tpu.config import args_sanity_check, config_to_args, load_config
+    from refil_tpu.controllers.mac import MAC_REGISTRY
+    from refil_tpu.core.pipeline import FusedPipeline
+    from refil_tpu.envs.group_matching import GroupMatching
+    from refil_tpu.learners.q_learner import QLearner
+    from refil_tpu.run import (_dummy_batch, _load_checkpoint, _save_checkpoint,
+                               restore_pipeline_state, resume_warmup_blocks)
+    from refil_tpu.runners.vector_runner import VectorRunner
+
+    cfg = load_config(alg="refil_group_matching", env="group_matching")
+    cfg["env_args"].update(n_agents=4, episode_limit=6)
+    cfg.update(batch_size=8, buffer_size=16, batch_size_run=2)
+    args = config_to_args(args_sanity_check(cfg))
+    args.entity_scheme = True
+    env = GroupMatching(**cfg["env_args"])
+    info = env.env_info()
+    args.n_agents = info["n_agents"]
+    args.n_actions = info["n_actions"]
+    args.n_entities = info["n_entities"]
+    args.entity_shape = info["entity_shape"]
+    args.gt_mask_avail = info["gt_mask_avail"]
+    mac = MAC_REGISTRY["entity_mac"](args, info)
+    key = jax.random.PRNGKey(0)
+    learner = QLearner(mac, args, info, key)
+    state = learner.init_state(key, _dummy_batch(mac, info))
+    runner = VectorRunner(env, mac, args, logger=None)
+    pipe = FusedPipeline(runner, learner, args.buffer_size, args)
+
+    assert pipe.warmup_blocks() == 4  # 8 batch / 2 per block
+    ps = pipe.init_state(state, jax.random.PRNGKey(7))
+    ps, _ = pipe.block(ps, train=False)  # 1 of 4 warmup blocks done
+
+    path = str(tmp_path / "ckpt")
+    _save_checkpoint(path, ps.train, pstate=ps, include_buffer=True)
+    restored_train, payload = _load_checkpoint(path, state)
+    ps2 = pipe.init_state(restored_train, jax.random.PRNGKey(9))
+    ps2 = restore_pipeline_state(ps2, payload, mesh=None)
+    assert int(ps2.episodes_in_buffer) == 2
+    assert resume_warmup_blocks(args, ps2) == 3
+
+    # after a full warmup the derived count is 0 (exact-resume fast path)
+    for _ in range(3):
+        ps2, _ = pipe.block(ps2, train=False)
+    _save_checkpoint(path, ps2.train, pstate=ps2, include_buffer=True)
+    _, payload2 = _load_checkpoint(path, state)
+    ps3 = pipe.init_state(restored_train, jax.random.PRNGKey(9))
+    ps3 = restore_pipeline_state(ps3, payload2, mesh=None)
+    assert resume_warmup_blocks(args, ps3) == 0
