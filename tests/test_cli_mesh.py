@@ -82,3 +82,41 @@ def test_auto_mesh_falls_back_when_not_divisible():
 def test_distributed_off_by_default():
     assert maybe_init_distributed({}) is False
     assert maybe_init_distributed({"distributed": False}) is False
+
+
+def test_cli_sharded_equals_single_device(tmp_path):
+    """Through the production CLI: identical config + seed trained on a
+    {data: 8} mesh and on a {data: 1} mesh log the same loss trajectory
+    (up to reduction order)."""
+    import numpy as np
+
+    def run(mesh, sub):
+        main([
+            "--config=refil_group_matching",
+            "--env-config=group_matching",
+            "with",
+            f"mesh_shape={{'data': {mesh}}}",
+            "t_max=400",
+            "seed=3",
+            "env_args.n_agents=4",
+            "env_args.episode_limit=10",
+            "batch_size=8",
+            "buffer_size=16",
+            "test_nepisode=8",
+            "test_interval=100000",
+            f"local_results_path={tmp_path / sub}",
+        ])
+        mdir = os.path.join(str(tmp_path / sub), "metrics")
+        fname = os.listdir(mdir)[0]
+        with open(os.path.join(mdir, fname)) as f:
+            rows = [json.loads(l) for l in f if l.strip()]
+        return [
+            (r["t"], r["value"]) for r in rows if r["key"] == "loss"
+        ]
+
+    sharded = run(8, "mesh8")
+    single = run(1, "mesh1")
+    assert sharded and len(sharded) == len(single)
+    for (t8, v8), (t1, v1) in zip(sharded, single):
+        assert t8 == t1
+        np.testing.assert_allclose(v8, v1, rtol=2e-4, atol=1e-6)

@@ -18,3 +18,12 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 3 * 4  # x3 imagine tiling on batch 4
+
+
+def test_sharded_equals_unsharded():
+    """{data: 8} and single-device fused pipelines produce the same
+    loss/metric trajectory from the same seed and global batch (VERDICT r2
+    item 2: the multi-chip correctness gate, not just liveness)."""
+    import __graft_entry__ as g
+
+    g.assert_sharded_equals_unsharded(8)
