@@ -763,6 +763,43 @@ class EntityBattle:
             t=t,
         )
         info = {"battle_won": won, "episode_limit": at_limit}
+
+        # render extras (reference render:1560-1633 draws facing arrows and
+        # attack lines from the engine's unit orders; the stand-in derives
+        # them from this step's decoded actions). Consumed only by record=True
+        # rollouts — DCE'd otherwise.
+        heal_alive = jnp.take_along_axis(a_alive, heal_slot, axis=1)
+        atk_alive = jnp.take_along_axis(e_alive, atk_slot, axis=1)
+        a_target = jnp.where(
+            is_agent_attack & atk_alive, Na + atk_slot,
+            jnp.where(is_agent_heal & heal_alive, heal_slot, -1),
+        )
+        # facing: movement direction while moving, else toward the target
+        a_moved = jnp.linalg.norm(a_disp, axis=-1) > 1e-6
+        a_face = jnp.where(
+            a_moved,
+            jnp.arctan2(a_disp[..., 1], a_disp[..., 0]),
+            jnp.arctan2(delta[..., 1], delta[..., 0]),
+        )
+        e_moved = jnp.linalg.norm(e_disp, axis=-1) > 1e-6
+        e_face = jnp.where(
+            e_moved,
+            jnp.arctan2(e_disp[..., 1], e_disp[..., 0]),
+            jnp.arctan2(e_delta[..., 1], e_delta[..., 0]),
+        )
+        cdf_a = jnp.maximum(self.cooldown_frames[state.a_type], 1.0)
+        cdf_e = jnp.maximum(self.cooldown_frames[state.e_type], 1.0)
+        info["render"] = {
+            "target": jnp.concatenate(
+                [a_target, jnp.where(e_engage, e_target, -1)], axis=1
+            ),
+            "facing": jnp.concatenate([a_face, e_face], axis=1),
+            "facing_valid": jnp.concatenate(
+                [a_moved | is_agent_attack | is_agent_heal, e_moved | e_engage],
+                axis=1,
+            ),
+            "cd_ratio": jnp.concatenate([a_cd / cdf_a, e_cd / cdf_e], axis=1),
+        }
         return new_state, reward, done, info
 
     # ------------------------------------------------------------------

@@ -275,8 +275,16 @@ def evaluate_sequential(args, runner: VectorRunner, learner: QLearner,
             if not path.endswith(".mp4"):
                 path += ".mp4"
             os.makedirs(dirname(abspath(path)) or ".", exist_ok=True)
+            # draw real terrain for geometry-defined maps (corridor etc.)
+            core = getattr(runner.env, "core", runner.env)
+            geo = None
+            if hasattr(core, "pathing_grid") and not getattr(
+                core, "trivial_pathing", True
+            ):
+                geo = (np.asarray(core.pathing_grid),
+                       np.asarray(core.terrain_height))
             frames = crender.frames_for_env(
-                runner.last_recording, 0, runner.env.map_size
+                runner.last_recording, 0, runner.env.map_size, geometry=geo
             )
             written = crender.save_video(path, frames, fps=args.fps)
             logger.console_logger.info("Saved eval video to %s", written)

@@ -182,7 +182,11 @@ class VectorRunner:
                 "obs_next": {k: _mask_like(alive, v) for k, v in obs_next.items()},
             }
             if record:
-                out["render"] = env.render_state(state_next)
+                r = env.render_state(state_next)
+                if "render" in info:
+                    # facing/attack-line extras from the combat step
+                    r = {**r, **info["render"]}
+                out["render"] = r
             alive_next = alive & ~done
             return (
                 state_next,

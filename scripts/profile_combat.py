@@ -55,6 +55,9 @@ def main():
             args.compute_dtype = "bfloat16"
         pipe = FusedPipeline(runner, learner, args.buffer_size, args)
         ps = pipe.init_state(state, key)
+        # pipe.block donates its input state, which consumes `key`'s buffer
+        # (it lives inside the PipelineState) — use a fresh key below
+        key = jax.random.PRNGKey(1234)
         for _ in range(pipe.warmup_blocks()):
             ps, _ = pipe.block(ps, train=False)
 
