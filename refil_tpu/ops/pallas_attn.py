@@ -1,25 +1,34 @@
 """Fused Pallas TPU kernels for the masked entity-attention layer.
 
 Forward: one kernel fuses the whole layer per batch tile, keeping every
-intermediate in VMEM: QKV projection (MXU) -> per-head masked attention (VPU
-softmax) -> output projection (MXU) -> post-mask. The XLA path
-(``ops/attention.py``) materializes the (B', H, Nq, Ne) logits/weights between
-fusions; here they never leave VMEM.
+intermediate in VMEM: QKV projection (MXU) -> per-head masked attention ->
+output projection (MXU) -> post-mask. The XLA path (``ops/attention.py``)
+materializes the (B', H, Nq, Ne) logits/weights between fusions; here they
+never leave VMEM.
 
-Backward: a second fused kernel recomputes the forward intermediates per batch
-tile in VMEM (cheaper than saving them to HBM at these sizes) and produces
-dEntities plus the three weight gradients, accumulated across batch tiles
-inside the kernel (the sequential TPU grid makes the += race-free). Gradients
-are exact — verified against ``jax.grad`` of the XLA implementation. Switch
-with ``set_backward_impl("xla")`` to fall back to replaying XLA math
-(``scripts/perf_matrix.py`` measures both).
+Entity sets are tiny (Ne ~ 8-32), so naive per-sample score matmuls are
+(Nq, hd) @ (hd, Ne) — a ~2% utilization of the 128x128 MXU and the r2
+profile's dominant term. This version **group-packs** G = 128//Ne samples
+into one block-diagonal attention: Q of G samples stack to (G*Nq, hd), K/V
+to (G*Ne, hd), ONE matmul computes all G samples' scores as the block
+diagonal of a (G*Nq, G*Ne) product, cross-sample entries are masked to -1e9
+before the (full 128-lane) softmax, and W @ V directly yields the per-sample
+attention because the cross-sample weights are 0. G*Ne = 128 lanes exactly
+for the flagship combat config (Ne=16) and Group Matching (Ne=8). Matmuls
+run in the caller's compute dtype (bf16 stays bf16 on the MXU) with f32
+accumulation and an f32 softmax — the r2 kernel silently upcast everything
+to f32, which is why bf16 configs saw no speedup.
+
+Backward: a second fused kernel recomputes the forward intermediates per
+batch tile in VMEM (cheaper than saving them to HBM at these sizes) with the
+same group packing, and produces dEntities plus the three weight gradients,
+accumulated across batch tiles inside the kernel (the sequential TPU grid
+makes the += race-free). Switch with ``set_backward_impl("xla")`` to fall
+back to replaying XLA math (``scripts/perf_matrix.py`` measures both).
 
 Semantics are identical to ``ops.attention.entity_attention`` (reference
-``attention.py:24-79``), verified by ``tests/test_pallas_attn.py``.
-
-Enable per-config with ``use_pallas_attention: True``; the entity axis is tiny
-(Ne ≈ 8-32) so lanes are padded — whether the fusion wins is measured by
-``bench.py``, not assumed.
+``attention.py:24-79``), verified by ``tests/test_pallas_attn.py`` including
+gradients vs ``jax.grad`` of the XLA implementation.
 """
 from __future__ import annotations
 
@@ -40,60 +49,85 @@ except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
 _NEG = -1e9
+_LANES = 128
 
 
-def _kernel(ents_ref, wqkv_ref, wo_ref, bo_ref, pre_add_ref, row_ok_ref,
-            post_keep_ref, out_ref, *, n_heads: int, n_queries: int):
+def _tile_geometry(Ne: int, batch_tile: int):
+    """(G samples per group, SG groups per tile, TB = SG*G samples per tile).
+    G packs sample blocks onto the 128-lane axis; SG sizes the tile toward
+    ``batch_tile`` rows so the projection matmuls stay large."""
+    G = max(1, _LANES // Ne)
+    SG = max(1, -(-batch_tile // G))
+    return G, SG, G * SG
+
+
+def _block_diag_mask(pre_add, G):
+    """(Bp, Nq, Ne) additive mask -> (Bp//G, G*Nq, G*Ne) block-diagonal
+    additive mask with cross-sample entries at -1e9. Built in XLA (cheap,
+    bandwidth-trivial next to the kernel's matmuls)."""
+    Bp, Nq, Ne = pre_add.shape
+    S = Bp // G
+    eye = jnp.eye(G, dtype=bool)  # (G row-block, G col-block)
+    m5 = jnp.where(
+        eye[None, :, None, :, None],
+        pre_add.reshape(S, G, Nq, 1, Ne),
+        jnp.asarray(_NEG, jnp.float32),
+    )  # (S, G, Nq, G, Ne)
+    return m5.reshape(S, G * Nq, G * Ne)
+
+
+def _kernel(ents_ref, wqkv_ref, wo_ref, bo_ref, mask_ref, row_ok_ref,
+            post_keep_ref, out_ref, *, n_heads: int, n_queries: int, G: int):
     ents = ents_ref[:]  # (TB, Ne, D)
     TB, Ne, D = ents.shape
+    SG = TB // G
+    Nq = n_queries
+    cdt = ents.dtype  # compute dtype: bf16 in -> bf16 MXU matmuls
     wqkv = wqkv_ref[:]  # (D, 3E)
     E = wqkv.shape[1] // 3
     hd = E // n_heads
+    dot = functools.partial(
+        jax.lax.dot_general, preferred_element_type=jnp.float32
+    )
+    bmm = lambda a, b: dot(a, b, (((2,), (1,)), ((0,), (0,))))
+    bmm_t = lambda a, b: dot(a, b, (((2,), (2,)), ((0,), (0,))))  # a @ b^T
 
-    qkv = jax.lax.dot_general(
-        ents, wqkv, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (TB, Ne, 3E)
+    qkv = dot(ents, wqkv, (((2,), (0,)), ((), ()))).astype(cdt)  # (TB, Ne, 3E)
     scale = 1.0 / (hd ** 0.5)
+    mask = mask_ref[:]  # (SG, G*Nq, G*Ne) f32 additive
 
     outs = []
     for h in range(n_heads):
-        q = qkv[:, :n_queries, h * hd : (h + 1) * hd]  # (TB, Nq, hd)
-        k = qkv[:, :, E + h * hd : E + (h + 1) * hd]  # (TB, Ne, hd)
-        v = qkv[:, :, 2 * E + h * hd : 2 * E + (h + 1) * hd]
-        logits = (
-            jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )
-            * scale
-        )  # (TB, Nq, Ne)
-        logits = logits + pre_add_ref[:]
+        # group-pack G samples: block-diagonal scores in ONE matmul
+        q = qkv[:, :Nq, h * hd : (h + 1) * hd].reshape(SG, G * Nq, hd)
+        k = qkv[:, :, E + h * hd : E + (h + 1) * hd].reshape(SG, G * Ne, hd)
+        v = qkv[:, :, 2 * E + h * hd : 2 * E + (h + 1) * hd].reshape(
+            SG, G * Ne, hd
+        )
+        logits = bmm_t(q, k) * scale + mask  # (SG, G*Nq, G*Ne) f32
         m = jnp.max(logits, axis=-1, keepdims=True)
         w = jnp.exp(logits - m)
         w = w / jnp.sum(w, axis=-1, keepdims=True)
-        # zero fully-blocked rows (reference NaN->0, attention.py:58-60)
-        w = w * row_ok_ref[:][:, :, None]
-        outs.append(
-            jax.lax.dot_general(
-                w, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )
-        )  # (TB, Nq, hd)
-    attn = jnp.concatenate(outs, axis=-1)  # (TB, Nq, E)
+        # cross-sample entries carry -1e9 -> w underflows to 0 there, so
+        # W @ V is exactly the per-sample attention
+        attn = bmm(w.astype(cdt), v)  # (SG, G*Nq, hd) f32 accum
+        outs.append(attn.reshape(TB, Nq, hd))
+    attn = jnp.concatenate(outs, axis=-1)  # (TB, Nq, E) f32
+    # zero fully-blocked rows (reference NaN->0, attention.py:58-60);
+    # commutes with the output projection's row structure
+    attn = attn * row_ok_ref[:][:, :, None]
     out = (
-        jax.lax.dot_general(
-            attn, wo_ref[:], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + bo_ref[:][None, None, :]
+        dot(attn.astype(cdt), wo_ref[:], (((2,), (0,)), ((), ())))
+        + bo_ref[:][None, None, :].astype(jnp.float32)
     )
-    out_ref[:] = out * post_keep_ref[:][:, :, None]
+    out_ref[:] = (out * post_keep_ref[:][:, :, None]).astype(out_ref.dtype)
 
 
-def _pallas_forward(entities, in_kernel, out_kernel, out_bias, pre_mask,
-                    post_mask, n_heads: int, batch_tile: int = 64):
+def _prep(entities, pre_mask, post_mask, G, TB, extra=()):
+    """Shared forward/backward preprocessing: additive masks, row/post keeps,
+    padding to a TB multiple, block-diagonal mask build."""
     Bp, Ne, D = entities.shape
     n_queries = post_mask.shape[1]
-    O = out_kernel.shape[1]
-
     pm = pre_mask[:, :n_queries] if pre_mask is not None else jnp.zeros(
         (Bp, n_queries, Ne), bool
     )
@@ -101,44 +135,57 @@ def _pallas_forward(entities, in_kernel, out_kernel, out_bias, pre_mask,
     row_ok = (~jnp.all(pm, axis=-1)).astype(jnp.float32)
     post_keep = (~post_mask).astype(jnp.float32)
 
-    TB = min(batch_tile, Bp)
     pad = (-Bp) % TB
+    arrs = (entities, pre_add, row_ok, post_keep) + tuple(extra)
     if pad:
         z = lambda x: jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0
         )
-        entities, pre_add, row_ok, post_keep = map(
-            z, (entities, pre_add, row_ok, post_keep)
-        )
-    Bpad = entities.shape[0]
+        arrs = tuple(map(z, arrs))
+    entities, pre_add, row_ok, post_keep = arrs[:4]
+    mask = _block_diag_mask(pre_add, G)
+    return (entities, mask, row_ok, post_keep) + arrs[4:]
 
-    grid = (Bpad // TB,)
+
+def _pallas_forward(entities, in_kernel, out_kernel, out_bias, pre_mask,
+                    post_mask, n_heads: int, batch_tile: int = 128):
+    Bp, Ne, D = entities.shape
+    n_queries = post_mask.shape[1]
+    O = out_kernel.shape[1]
+    G, SG, TB = _tile_geometry(Ne, batch_tile)
+
+    entities_p, mask, row_ok, post_keep = _prep(
+        entities, pre_mask, post_mask, G, TB
+    )
+    Bpad = entities_p.shape[0]
+    cdt = entities.dtype
+
     out = pl.pallas_call(
-        functools.partial(_kernel, n_heads=n_heads, n_queries=n_queries),
-        out_shape=jax.ShapeDtypeStruct((Bpad, n_queries, O), jnp.float32),
-        grid=grid,
+        functools.partial(_kernel, n_heads=n_heads, n_queries=n_queries, G=G),
+        out_shape=jax.ShapeDtypeStruct((Bpad, n_queries, O), cdt),
+        grid=(Bpad // TB,),
         in_specs=[
             pl.BlockSpec((TB, Ne, D), lambda i: (i, 0, 0)),
             pl.BlockSpec((D, in_kernel.shape[1]), lambda i: (0, 0)),
             pl.BlockSpec((out_kernel.shape[0], O), lambda i: (0, 0)),
             pl.BlockSpec((O,), lambda i: (0,)),
-            pl.BlockSpec((TB, n_queries, Ne), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (SG, G * n_queries, G * Ne), lambda i: (i, 0, 0)
+            ),
             pl.BlockSpec((TB, n_queries), lambda i: (i, 0)),
             pl.BlockSpec((TB, n_queries), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((TB, n_queries, O), lambda i: (i, 0, 0)),
     )(
-        entities.astype(jnp.float32),
-        in_kernel.astype(jnp.float32),
-        out_kernel.astype(jnp.float32),
-        out_bias.astype(jnp.float32),
-        pre_add,
+        entities_p,
+        in_kernel.astype(cdt),
+        out_kernel.astype(cdt),
+        out_bias.astype(cdt),
+        mask,
         row_ok,
         post_keep,
     )
-    # kernel math runs in f32; return the caller's compute dtype so the
-    # custom-VJP dtype contract matches the XLA path (bf16 in -> bf16 out)
-    return out[:Bp].astype(entities.dtype)
+    return out[:Bp]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -153,8 +200,8 @@ def pallas_entity_attention(entities, in_kernel, out_kernel, out_bias,
 
 
 # ----------------------------------------------------------------------
-# Backward kernel: recompute-forward-in-VMEM, accumulate weight grads across
-# the (sequential) batch-tile grid.
+# Backward kernel: recompute-forward-in-VMEM with the same group packing,
+# accumulate weight grads across the (sequential) batch-tile grid.
 
 _BACKWARD_IMPL = "pallas"
 
@@ -165,9 +212,9 @@ def set_backward_impl(impl: str) -> None:
     _BACKWARD_IMPL = impl
 
 
-def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, pre_add_ref, row_ok_ref,
+def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, mask_ref, row_ok_ref,
                 post_keep_ref, dents_ref, dwqkv_ref, dwo_ref, dbo_ref,
-                *, n_heads: int, n_queries: int):
+                *, n_heads: int, n_queries: int, G: int):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
@@ -176,6 +223,8 @@ def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, pre_add_ref, row_ok_ref,
 
     ents = ents_ref[:]  # (TB, Ne, D)
     TB, Ne, D = ents.shape
+    SG = TB // G
+    cdt = ents.dtype
     wqkv = wqkv_ref[:]  # (D, 3E)
     wo = wo_ref[:]  # (E, O)
     E = wqkv.shape[1] // 3
@@ -183,9 +232,9 @@ def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, pre_add_ref, row_ok_ref,
     hd = E // n_heads
     scale = 1.0 / (hd ** 0.5)
     Nq = n_queries
-    # out = (attn @ wo + bo) * post_keep  =>  g flows through post_keep first
-    g = g_ref[:] * post_keep_ref[:][:, :, None]  # (TB, Nq, O)
     row_ok = row_ok_ref[:]  # (TB, Nq)
+    # out = (attn @ wo + bo) * post_keep  =>  g flows through post_keep first
+    g = g_ref[:].astype(jnp.float32) * post_keep_ref[:][:, :, None]
 
     dot = functools.partial(
         jax.lax.dot_general, preferred_element_type=jnp.float32
@@ -194,43 +243,52 @@ def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, pre_add_ref, row_ok_ref,
     bmm_t = lambda a, b: dot(a, b, (((2,), (2,)), ((0,), (0,))))  # a @ b^T
     bmm_tl = lambda a, b: dot(a, b, (((1,), (1,)), ((0,), (0,))))  # a^T @ b
 
-    # ---- recompute forward intermediates ----
-    qkv = dot(ents, wqkv, (((2,), (0,)), ((), ())))  # (TB, Ne, 3E)
-    ws, vs, qs, ks, attns = [], [], [], [], []
+    # ---- recompute forward (grouped) ----
+    qkv = dot(ents, wqkv, (((2,), (0,)), ((), ()))).astype(cdt)  # (TB, Ne, 3E)
+    mask = mask_ref[:]  # (SG, G*Nq, G*Ne)
+    qs, ks, vs, ws, attns = [], [], [], [], []
     for h in range(n_heads):
-        q = qkv[:, :Nq, h * hd : (h + 1) * hd]
-        k = qkv[:, :, E + h * hd : E + (h + 1) * hd]
-        v = qkv[:, :, 2 * E + h * hd : 2 * E + (h + 1) * hd]
-        logits = bmm_t(q, k) * scale + pre_add_ref[:]
+        q = qkv[:, :Nq, h * hd : (h + 1) * hd].reshape(SG, G * Nq, hd)
+        k = qkv[:, :, E + h * hd : E + (h + 1) * hd].reshape(SG, G * Ne, hd)
+        v = qkv[:, :, 2 * E + h * hd : 2 * E + (h + 1) * hd].reshape(
+            SG, G * Ne, hd
+        )
+        logits = bmm_t(q, k) * scale + mask
         m = jnp.max(logits, axis=-1, keepdims=True)
         w = jnp.exp(logits - m)
-        w = w / jnp.sum(w, axis=-1, keepdims=True)  # softmax (pre row_ok)
-        wf = w * row_ok[:, :, None]
+        w = w / jnp.sum(w, axis=-1, keepdims=True)  # (SG, G*Nq, G*Ne) f32
         qs.append(q); ks.append(k); vs.append(v); ws.append(w)
-        attns.append(bmm(wf, v))  # (TB, Nq, hd)
-    attn = jnp.concatenate(attns, axis=-1)  # (TB, Nq, E)
+        attns.append(bmm(w.astype(cdt), v).reshape(TB, Nq, hd))
+    attn = jnp.concatenate(attns, axis=-1) * row_ok[:, :, None]  # (TB, Nq, E)
 
     # ---- output projection grads ----
     dwo_ref[:] += dot(
-        attn.reshape(TB * Nq, E), g.reshape(TB * Nq, O),
+        attn.reshape(TB * Nq, E).astype(cdt), g.reshape(TB * Nq, O).astype(cdt),
         (((0,), (0,)), ((), ())),
     )  # attn^T @ g over (batch*query)
     dbo_ref[:] += g.reshape(TB * Nq, O).sum(0)
-    dattn = dot(g, wo, (((2,), (1,)), ((), ())))  # g @ wo^T: (TB, Nq, E)
+    dattn = dot(g.astype(cdt), wo, (((2,), (1,)), ((), ())))  # (TB, Nq, E) f32
+    # row_ok zeroing: fold into the upstream attention gradient rows
+    dattn = dattn * row_ok[:, :, None]
 
-    # ---- per-head attention grads ----
+    # ---- per-head attention grads (grouped; cross-block w == 0 keeps all
+    # products exactly per-sample) ----
     dqs, dks, dvs = [], [], []
     for h in range(n_heads):
-        dattn_h = dattn[..., h * hd : (h + 1) * hd]  # (TB, Nq, hd)
-        wf = ws[h] * row_ok[:, :, None]
-        dvs.append(bmm_tl(wf, dattn_h))  # wf^T @ dattn: (TB, Ne, hd)
-        dwf = bmm_t(dattn_h, vs[h])  # dattn @ v^T: (TB, Nq, Ne)
-        dw = dwf * row_ok[:, :, None]  # through wf = w * row_ok
+        dattn_h = (
+            dattn[..., h * hd : (h + 1) * hd].reshape(SG, G * Nq, hd)
+        ).astype(cdt)
+        w = ws[h]
+        dvs.append(
+            bmm_tl(w.astype(cdt), dattn_h).reshape(TB, Ne, hd)
+        )  # w^T @ dattn
+        dw = bmm_t(dattn_h, vs[h])  # dattn @ v^T: (SG, G*Nq, G*Ne) f32
         # softmax VJP: dl = w * (dw - sum(dw * w))
-        dl = ws[h] * (dw - jnp.sum(dw * ws[h], axis=-1, keepdims=True))
-        dqs.append(bmm(dl, ks[h]) * scale)  # (TB, Nq, hd)
-        dks.append(bmm_tl(dl, qs[h]) * scale)  # dl^T @ q: (TB, Ne, hd)
-    dq = jnp.concatenate(dqs, axis=-1)  # (TB, Nq, E)
+        dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+        dl = dl.astype(cdt)
+        dqs.append((bmm(dl, ks[h]) * scale).reshape(TB, Nq, hd))
+        dks.append((bmm_tl(dl, qs[h]) * scale).reshape(TB, Ne, hd))
+    dq = jnp.concatenate(dqs, axis=-1)  # (TB, Nq, E) f32
     # q rows beyond Nq never feed the output -> zero gradient (all-queries
     # callers like the mixer hypernets have Nq == Ne: nothing to pad, and a
     # 0-sized vector would be rejected by Mosaic)
@@ -242,10 +300,12 @@ def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, pre_add_ref, row_ok_ref,
         dq_full = dq
     dqkv = jnp.concatenate(
         [dq_full, jnp.concatenate(dks, -1), jnp.concatenate(dvs, -1)], axis=-1
-    )  # (TB, Ne, 3E)
+    ).astype(cdt)  # (TB, Ne, 3E)
 
     # ---- input projection grads ----
-    dents_ref[:] = dot(dqkv, wqkv, (((2,), (1,)), ((), ())))  # dqkv @ wqkv^T
+    dents_ref[:] = dot(dqkv, wqkv, (((2,), (1,)), ((), ()))).astype(
+        dents_ref.dtype
+    )  # dqkv @ wqkv^T
     dwqkv_ref[:] += dot(
         ents.reshape(TB * Ne, D), dqkv.reshape(TB * Ne, 3 * E),
         (((0,), (0,)), ((), ())),
@@ -257,27 +317,18 @@ def _pallas_backward(entities, in_kernel, out_kernel, pre_mask, post_mask,
     Bp, Ne, D = entities.shape
     n_queries = post_mask.shape[1]
     O = out_kernel.shape[1]
+    G, SG, TB = _tile_geometry(Ne, batch_tile)
+    cdt = entities.dtype
 
-    pm = pre_mask[:, :n_queries] if pre_mask is not None else jnp.zeros(
-        (Bp, n_queries, Ne), bool
+    entities_p, mask, row_ok, post_keep, g_p = _prep(
+        entities, pre_mask, post_mask, G, TB, extra=(g,)
     )
-    pre_add = jnp.where(pm, jnp.asarray(_NEG, jnp.float32), 0.0)
-    row_ok = (~jnp.all(pm, axis=-1)).astype(jnp.float32)
-    post_keep = (~post_mask).astype(jnp.float32)
-
-    TB = min(batch_tile, Bp)
-    pad = (-Bp) % TB
-    if pad:
-        z = lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0
-        )
-        entities, pre_add, row_ok, post_keep, g = map(
-            z, (entities, pre_add, row_ok, post_keep, g)
-        )
-    Bpad = entities.shape[0]
+    Bpad = entities_p.shape[0]
 
     dents, dwqkv, dwo, dbo = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_heads=n_heads, n_queries=n_queries),
+        functools.partial(
+            _bwd_kernel, n_heads=n_heads, n_queries=n_queries, G=G
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((Bpad, Ne, D), jnp.float32),
             jax.ShapeDtypeStruct(in_kernel.shape, jnp.float32),
@@ -290,7 +341,9 @@ def _pallas_backward(entities, in_kernel, out_kernel, pre_mask, post_mask,
             pl.BlockSpec((TB, n_queries, O), lambda i: (i, 0, 0)),
             pl.BlockSpec((D, in_kernel.shape[1]), lambda i: (0, 0)),
             pl.BlockSpec((out_kernel.shape[0], O), lambda i: (0, 0)),
-            pl.BlockSpec((TB, n_queries, Ne), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (SG, G * n_queries, G * Ne), lambda i: (i, 0, 0)
+            ),
             pl.BlockSpec((TB, n_queries), lambda i: (i, 0)),
             pl.BlockSpec((TB, n_queries), lambda i: (i, 0)),
         ],
@@ -303,11 +356,11 @@ def _pallas_backward(entities, in_kernel, out_kernel, pre_mask, post_mask,
             pl.BlockSpec((O,), lambda i: (0,)),
         ),
     )(
-        entities.astype(jnp.float32),
-        g.astype(jnp.float32),
-        in_kernel.astype(jnp.float32),
-        out_kernel.astype(jnp.float32),
-        pre_add,
+        entities_p,
+        g_p,
+        in_kernel.astype(cdt),
+        out_kernel.astype(cdt),
+        mask,
         row_ok,
         post_keep,
     )
