@@ -60,7 +60,8 @@ def _build(batch_size_run: int):
     return args, runner, learner, state, key
 
 
-def bench_ours(n_blocks: int = 30, batch_size_run: int = 8) -> float:
+def bench_ours(n_blocks: int = 30, batch_size_run: int = 8,
+               ret_stats: bool = False):
     """Fused pipeline: all n_blocks episode blocks run in ONE dispatch
     (lax.scan over the donated rollout+insert+sample+train block)."""
     import jax
@@ -81,7 +82,15 @@ def bench_ours(n_blocks: int = 30, batch_size_run: int = 8) -> float:
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
     ps = jax.block_until_ready(ps)
     dt = time.perf_counter() - t0
-    return (int(ps.t_env) - t_env0) / dt
+    steps_per_s = (int(ps.t_env) - t_env0) / dt
+    if not ret_stats:
+        return steps_per_s
+    flops = _gm_flops_per_block(args, runner.env.env_info(), n_blocks) / dt
+    return steps_per_s, {
+        "gm_flops_per_s": round(flops / 1e12, 3),
+        "gm_mfu_bf16_peak": round(flops / _peak_flops(), 4),
+        "gm_compute_dtype": getattr(args, "compute_dtype", "float32"),
+    }
 
 
 def bench_ours_classic(n_blocks: int = 30, batch_size_run: int = 8) -> float:
@@ -229,6 +238,49 @@ def _combat_train_step_flops(args, info) -> float:
     (scripts/validate_flops.py): model/XLA agree within ~7%."""
     F_agent, F_mixer, T = _combat_flops_model(args, info)
     return args.batch_size * T * (10 * F_agent + 5.5 * F_mixer)
+
+
+def _gm_flops_model(args, info):
+    """Per-(sample, timestep) forward FLOPs for the Group Matching parity
+    config: EntityAttentionFFAgent (fc1 -> attn -> fc2) and one
+    AttentionHyperNet pass of the LinearFlexQMixer."""
+    Na = info["n_agents"]
+    Ne = info["n_entities"]
+    A = info["n_actions"]
+    D = info["entity_shape"] + (A if getattr(args, "entity_last_action", False) else 0)
+    h = args.attn_embed_dim
+    he = args.hypernet_embed
+    T = info["episode_limit"] + 1
+    F_agent = (
+        2 * Ne * D * h          # fc1
+        + 2 * Ne * h * 3 * h    # fused QKV in_proj
+        + 2 * Na * Ne * h * 2   # scores + attn @ V
+        + 2 * Na * h * h        # out proj
+        + 2 * Na * h * A        # fc2 -> Q
+    )
+    F_hyper = (
+        2 * Ne * D * he
+        + 2 * Ne * he * 3 * he
+        + 2 * Ne * Ne * he * 2
+        + 2 * Ne * he * he
+        + 2 * Ne * he * args.mixing_embed_dim
+    )
+    return F_agent, F_hyper, T
+
+
+def _gm_flops_per_block(args, info, n_blocks: int = 1) -> float:
+    """Analytic FLOPs per GM episode block (same conventions as the combat
+    model; validated in scripts/validate_flops.py --gm). Per train iteration:
+    agent x3 imagine fwd + bwd -> 9 F_agent, target 1 -> 10. LinearFlexQMixer
+    has TWO hypernets (hyper_w_1 alt_vector, V scalar); live fwd executes
+    w1(default) + w1(W) + w1(I) + V (V CSEd between the normal and imagine
+    calls) = 4 F_hyper, bwd 2x -> 12, target (w1 + V) -> 2: 14 F_hyper."""
+    F_agent, F_hyper, T = _gm_flops_model(args, info)
+    train = args.training_iters * args.batch_size * T * (
+        10 * F_agent + 14 * F_hyper
+    )
+    rollout = args.batch_size_run * T * F_agent
+    return float(n_blocks) * (rollout + train)
 
 
 def _combat_flops_per_block(args, info, n_blocks: int = 1) -> float:
@@ -409,8 +461,11 @@ def main():
         except Exception as e:  # torch unavailable etc.
             print(f"reference proxy failed: {e}", file=sys.stderr)
             ref = None
-    fn = bench_ours_classic if "--classic" in sys.argv else bench_ours
-    ours = fn(batch_size_run=batch_size_run)
+    gm_stats = {}
+    if "--classic" in sys.argv:
+        ours = bench_ours_classic(batch_size_run=batch_size_run)
+    else:
+        ours, gm_stats = bench_ours(batch_size_run=batch_size_run, ret_stats=True)
     vs = (ours / ref) if ref else None
     print(
         f"[bench] ours={ours:.1f} env-steps/s, reference-proxy={ref and round(ref, 1)}",
@@ -422,6 +477,7 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": vs and round(vs, 2),
     }
+    result.update(gm_stats)
     if "--no-combat" not in sys.argv:
         # flagship combat config (attn 128/4, imagine RNN, x3 tiling) with
         # XLA-cost-analysis FLOPs and MFU vs the chip's bf16 peak

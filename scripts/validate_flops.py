@@ -22,11 +22,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import _build_combat, _combat_train_step_flops
+    from bench import (_build, _build_combat, _combat_train_step_flops,
+                       _gm_flops_model)
     from refil_tpu.ops.attention import set_attention_impl
 
     set_attention_impl("xla")  # cost analysis must see inside the attention
-    args, runner, learner, state, key = _build_combat(batch_size_run=8)
+    gm = "--gm" in sys.argv
+    if gm:
+        args, runner, learner, state, key = _build(batch_size_run=8)
+    else:
+        args, runner, learner, state, key = _build_combat(batch_size_run=8)
     info = runner.env.env_info()
 
     # one real episode batch, tiled to the training batch size
@@ -44,17 +49,21 @@ def main():
         ca = ca[0]
     xla_flops = float(ca["flops"])
 
-    model_flops = _combat_train_step_flops(args, info)
-
-    # XLA counts a lax.scan body ONCE, not x trip count (verified on a toy
-    # scan), so the compiled count misses (T-1)/T of the GRU time-scan's
-    # work. Add the model's GRU term back for an apples-to-apples compare:
-    # 10 agent passes x batch x T x 12*Na*H^2 (3 scan instances' single
-    # counted bodies are negligible against that).
-    Na = info["n_agents"]
-    T = info["episode_limit"] + 1
-    gru_corr = args.batch_size * T * 10 * 12 * Na * args.rnn_hidden_dim ** 2
-    xla_corrected = xla_flops + gru_corr * (T - 1) / T
+    if gm:
+        F_agent, F_hyper, T = _gm_flops_model(args, info)
+        model_flops = args.batch_size * T * (10 * F_agent + 14 * F_hyper)
+        xla_corrected = xla_flops  # FF agent: no scan in the train step
+    else:
+        model_flops = _combat_train_step_flops(args, info)
+        # XLA counts a lax.scan body ONCE, not x trip count (verified on a
+        # toy scan), so the compiled count misses (T-1)/T of the GRU
+        # time-scan's work. Add the model's GRU term back for an
+        # apples-to-apples compare: 10 agent passes x batch x T x 12*Na*H^2
+        # (3 scan instances' single counted bodies are negligible).
+        Na = info["n_agents"]
+        T = info["episode_limit"] + 1
+        gru_corr = args.batch_size * T * 10 * 12 * Na * args.rnn_hidden_dim ** 2
+        xla_corrected = xla_flops + gru_corr * (T - 1) / T
 
     ratio = xla_corrected / model_flops
     print(f"XLA counted flops (1 train step): {xla_flops/1e9:.2f} GFLOP")
