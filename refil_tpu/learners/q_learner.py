@@ -299,6 +299,11 @@ class QLearner:
         ``test_gt_factors`` (Group Matching)."""
         if not isinstance(self.mixer, MIXER_REGISTRY["lin_flex_qmix"]):
             return None
+        if not self.is_imagine:
+            # non-imagine agents (qmix_atten) have no x3 forward to factor —
+            # the reference computes ingroup_prop only on the imagine path
+            # (q_learner.py:138-147); accept-and-skip instead of crashing
+            return None
         args, mac = self.args, self.mac
         actions = batch["actions"][:, :-1]
         rep_actions = jnp.concatenate([actions] * 3, axis=0)
