@@ -185,3 +185,53 @@ def test_sampling_only_hits_filled_slots():
     # without replacement within each iteration
     for row in np.asarray(idx):
         assert len(set(row.tolist())) == len(row)
+
+
+def test_bfloat16_compute_dtype_end_to_end():
+    """compute_dtype=bfloat16 trains: finite losses tracking the f32 run
+    (loose tolerance) over several fused blocks."""
+    import jax
+
+    from refil_tpu.config import args_sanity_check, config_to_args, load_config
+    from refil_tpu.controllers.mac import MAC_REGISTRY
+    from refil_tpu.core.pipeline import FusedPipeline
+    from refil_tpu.envs.group_matching import GroupMatching
+    from refil_tpu.learners.q_learner import QLearner
+    from refil_tpu.run import _dummy_batch
+    from refil_tpu.runners.vector_runner import VectorRunner
+
+    def run(dtype):
+        cfg = load_config(alg="refil_group_matching", env="group_matching")
+        cfg["env_args"].update(n_agents=4, episode_limit=8)
+        cfg.update(batch_size=8, buffer_size=16, batch_size_run=8,
+                   compute_dtype=dtype)
+        args = config_to_args(args_sanity_check(cfg))
+        args.entity_scheme = True
+        env = GroupMatching(**cfg["env_args"])
+        info = env.env_info()
+        args.n_agents = info["n_agents"]
+        args.n_actions = info["n_actions"]
+        args.n_entities = info["n_entities"]
+        args.entity_shape = info["entity_shape"]
+        args.gt_mask_avail = info["gt_mask_avail"]
+        mac = MAC_REGISTRY["entity_mac"](args, info)
+        key = jax.random.PRNGKey(0)
+        learner = QLearner(mac, args, info, key)
+        state = learner.init_state(key, _dummy_batch(mac, info))
+        runner = VectorRunner(env, mac, args, logger=None)
+        pipe = FusedPipeline(runner, learner, args.buffer_size, args)
+        ps = pipe.init_state(state, jax.random.PRNGKey(5))
+        for _ in range(pipe.warmup_blocks()):
+            ps, _ = pipe.block(ps, train=False)
+        losses = []
+        for _ in range(4):
+            ps, stats = pipe.block(ps, train=True)
+            losses.append(float(stats["metrics"]["loss"]))
+        return losses
+
+    l_bf16 = run("bfloat16")
+    l_f32 = run("float32")
+    assert all(np.isfinite(l_bf16)), l_bf16
+    # same seed/trajectory structure: bf16 must track f32 loosely
+    for a, b in zip(l_bf16, l_f32):
+        assert abs(a - b) <= 0.25 * max(abs(b), 0.05), (l_bf16, l_f32)
