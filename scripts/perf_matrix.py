@@ -66,8 +66,16 @@ def run_one(B, dtype, impl, n_blocks=30, combat=False):
     ps = jax.block_until_ready(ps)
     dt = time.perf_counter() - t
     sps = (int(ps.t_env) - t0) / dt
-    loss = None
-    return sps
+    # analytic MFU vs the chip's bf16 MXU peak (models validated against XLA
+    # cost analysis, scripts/validate_flops.py)
+    from bench import (_combat_flops_per_block, _gm_flops_per_block,
+                       _peak_flops)
+
+    fl = (_combat_flops_per_block if combat else _gm_flops_per_block)(
+        args, info, n_blocks
+    )
+    mfu = fl / dt / _peak_flops()
+    return sps, mfu
 
 
 def main():
@@ -78,10 +86,13 @@ def main():
         for dtype in ("float32", "bfloat16"):
             for impl in ("pallas", "pallas_xlabwd", "xla"):
                 try:
-                    sps = run_one(B, dtype, impl, n_blocks=n_blocks, combat=combat)
+                    sps, mfu = run_one(
+                        B, dtype, impl, n_blocks=n_blocks, combat=combat
+                    )
                     print(
                         f"{'combat' if combat else 'gm'} B={B} dtype={dtype:9s} "
-                        f"impl={impl:13s} -> {sps:,.0f} env-steps/s",
+                        f"impl={impl:13s} -> {sps:,.0f} env-steps/s  "
+                        f"(MFU {mfu:.3f} of bf16 peak)",
                         flush=True,
                     )
                 except Exception as e:
