@@ -156,7 +156,8 @@ def _peak_flops() -> float:
     return 197e12  # conservative default (v5e)
 
 
-def _build_combat(batch_size_run: int, scenario: str = "3-8sz_symmetric"):
+def _build_combat(batch_size_run: int, scenario: str = "3-8sz_symmetric",
+                  compute_dtype: str = None):
     """Flagship SC2-parity configuration: refil (imagine RNN agent, attn
     128/4, flex_qmix, x3 imagine tiling) on the entity_battle stand-in."""
     import jax
@@ -171,6 +172,8 @@ def _build_combat(batch_size_run: int, scenario: str = "3-8sz_symmetric"):
     cfg = load_config(alg="refil", env="sc2custom")
     cfg["scenario"] = scenario
     cfg["batch_size_run"] = batch_size_run
+    if compute_dtype:
+        cfg["compute_dtype"] = compute_dtype
     # ring sized to the insert batch (bench measures throughput, not recall)
     cfg["buffer_size"] = max(cfg["batch_size"], 2 * batch_size_run)
     args = config_to_args(args_sanity_check(cfg))

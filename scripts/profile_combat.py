@@ -50,9 +50,11 @@ def main():
     dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
 
     for bsr in batches:
-        args, runner, learner, state, key = _build_combat(bsr)
-        if dtype == jnp.bfloat16:
-            args.compute_dtype = "bfloat16"
+        # dtype must reach the model constructors (mac/mixer read it at
+        # build time): pass it through the config, not post-hoc on args
+        args, runner, learner, state, key = _build_combat(
+            bsr, compute_dtype=dtype.__name__
+        )
         pipe = FusedPipeline(runner, learner, args.buffer_size, args)
         ps = pipe.init_state(state, key)
         # pipe.block donates its input state, which consumes `key`'s buffer
