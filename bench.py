@@ -300,19 +300,24 @@ def _combat_flops_per_block(args, info, n_blocks: int = 1) -> float:
     return float(n_blocks) * (rollout + train)
 
 
-def bench_combat(n_blocks: int = 10, batch_size_run: int = 512):
+def bench_combat(n_blocks: int = 10, batch_size_run: int = 512,
+                 compute_dtype: str = "bfloat16"):
     """Combat-env training throughput + achieved FLOPs/s + MFU.
 
     FLOPs come from the analytic matmul-shape model above (XLA's compiled
-    cost analysis cannot see inside Pallas kernels or scan trip counts, so
-    it wildly under-counts this program); MFU divides by the chip's bf16 MXU
-    peak, so with the default float32 compute dtype it is doubly conservative.
+    cost analysis cannot see inside Pallas kernels and counts scan bodies
+    once, so it under-counts this program; the model itself is validated
+    against cost analysis, scripts/validate_flops.py); MFU divides by the
+    chip's bf16 MXU peak. Default dtype bf16 — the kernels keep bf16 on the
+    MXU (results/perf_matrix_r3.txt).
     """
     import jax
 
     from refil_tpu.core.pipeline import FusedPipeline
 
-    args, runner, learner, state, key = _build_combat(batch_size_run)
+    args, runner, learner, state, key = _build_combat(
+        batch_size_run, compute_dtype=compute_dtype
+    )
     pipe = FusedPipeline(runner, learner, args.buffer_size, args)
     ps = pipe.init_state(state, key)
     for _ in range(pipe.warmup_blocks()):
@@ -483,9 +488,14 @@ def main():
     result.update(gm_stats)
     if "--no-combat" not in sys.argv:
         # flagship combat config (attn 128/4, imagine RNN, x3 tiling) with
-        # XLA-cost-analysis FLOPs and MFU vs the chip's bf16 peak
+        # validated analytic FLOPs and MFU vs the chip's bf16 peak: the
+        # train-dominated point (B=512, the MFU story) and the throughput
+        # point (B=4096)
         try:
-            result.update(bench_combat())
+            result.update(bench_combat(batch_size_run=512))
+            peak = bench_combat(n_blocks=5, batch_size_run=4096)
+            result["combat_peak_env_steps_per_s"] = peak["combat_env_steps_per_s"]
+            result["combat_peak_batch_size_run"] = 4096
         except Exception as e:  # keep the headline metric robust
             print(f"combat bench failed: {e}", file=sys.stderr)
     print(json.dumps(result))
