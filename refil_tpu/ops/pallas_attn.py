@@ -51,6 +51,14 @@ except Exception:  # pragma: no cover
 _NEG = -1e9
 _LANES = 128
 
+# default batch-tile target (samples per grid step); configurable for tuning
+_BATCH_TILE = 128
+
+
+def set_batch_tile(n: int) -> None:
+    global _BATCH_TILE
+    _BATCH_TILE = int(n)
+
 
 def _tile_geometry(Ne: int, batch_tile: int):
     """(G samples per group, SG groups per tile, TB = SG*G samples per tile).
@@ -148,7 +156,8 @@ def _prep(entities, pre_mask, post_mask, G, TB, extra=()):
 
 
 def _pallas_forward(entities, in_kernel, out_kernel, out_bias, pre_mask,
-                    post_mask, n_heads: int, batch_tile: int = 128):
+                    post_mask, n_heads: int, batch_tile: int = None):
+    batch_tile = batch_tile or _BATCH_TILE
     Bp, Ne, D = entities.shape
     n_queries = post_mask.shape[1]
     O = out_kernel.shape[1]
@@ -313,7 +322,8 @@ def _bwd_kernel(ents_ref, g_ref, wqkv_ref, wo_ref, mask_ref, row_ok_ref,
 
 
 def _pallas_backward(entities, in_kernel, out_kernel, pre_mask, post_mask,
-                     g, n_heads: int, batch_tile: int = 64):
+                     g, n_heads: int, batch_tile: int = None):
+    batch_tile = batch_tile or min(_BATCH_TILE, 64)
     Bp, Ne, D = entities.shape
     n_queries = post_mask.shape[1]
     O = out_kernel.shape[1]
