@@ -297,8 +297,10 @@ def test_warn_unused_env_args(caplog):
     keys with no stand-in analogue stay silent."""
     import logging
 
+    from refil_tpu.envs import base as env_base
     from refil_tpu.envs.group_matching import GroupMatching
 
+    env_base._warned_env_args.clear()  # warn-once is per-process
     with caplog.at_level(logging.WARNING, logger="refil_tpu"):
         GroupMatching(n_agents=3, n_states=4, definitely_not_a_knob=1)
     assert any("definitely_not_a_knob" in r.message for r in caplog.records)
