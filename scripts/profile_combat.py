@@ -1,5 +1,11 @@
 """Component-level profile of the flagship combat block (VERDICT r2 item 1a).
 
+CAVEAT: on the axon tunnel platform jax.block_until_ready can return before
+device execution completes, so these times are submission-contaminated and
+read ~20-25% optimistic. Use them for RELATIVE structure only; value-forced
+end-to-end numbers (bench.py, scripts/perf_matrix.py) are the truth. See
+results/PERF_ANALYSIS.md.
+
 Breaks one fused episode block (refil @ 3-8sz_symmetric) into its constituent
 jitted programs and times each in isolation, so the dominant term is measured
 rather than guessed:

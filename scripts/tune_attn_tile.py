@@ -1,6 +1,12 @@
 """Sweep the Pallas attention batch-tile size x dtype at the flagship train
 shapes — isolates per-tile fixed overhead (grid steps) from matmul time.
 
+CAVEAT: on the axon tunnel platform jax.block_until_ready can return before
+device execution completes, so these times are submission-contaminated.
+Use them for RELATIVE structure only; value-forced end-to-end numbers
+(bench.py, scripts/perf_matrix.py) are the truth. See
+results/PERF_ANALYSIS.md — the value-forced tile A/B lives there.
+
 Usage: python scripts/tune_attn_tile.py
 """
 import sys
