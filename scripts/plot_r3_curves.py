@@ -53,7 +53,7 @@ def main():
     import matplotlib.pyplot as plt
 
     base = sys.argv[1] if len(sys.argv) > 1 else "results/r3_runs"
-    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6), dpi=130)
+    fig, axes = plt.subplots(1, 4, figsize=(17, 3.6), dpi=130)
     fig.patch.set_facecolor(SURFACE)
 
     panels = [
@@ -68,6 +68,9 @@ def main():
            "test_battle_won_mean", ORANGE)]),
         (axes[2], "3-8MMM symmetric (2M)", "test win rate",
          [("REFIL", os.path.join(base, "refil_mmm_2m"),
+           "test_battle_won_mean", BLUE)]),
+        (axes[3], "3-8csz symmetric (2M)", "test win rate",
+         [("REFIL", os.path.join(base, "refil_csz_2m"),
            "test_battle_won_mean", BLUE)]),
     ]
     for ax, title, ylab, series in panels:
