@@ -292,20 +292,35 @@ def test_obs_instead_of_state():
     assert np.isfinite(float(metrics["loss"]))
 
 
-def test_warn_unused_env_args(caplog):
+def test_warn_unused_env_args():
     """Unknown env_args keys warn instead of vanishing; accepted reference
-    keys with no stand-in analogue stay silent."""
+    keys with no stand-in analogue stay silent. (Captures via a handler on
+    the package logger directly: get_logger() sets propagate=False, so
+    caplog cannot see these records once any CLI test has run.)"""
     import logging
 
     from refil_tpu.envs import base as env_base
     from refil_tpu.envs.group_matching import GroupMatching
 
-    env_base._warned_env_args.clear()  # warn-once is per-process
-    with caplog.at_level(logging.WARNING, logger="refil_tpu"):
-        GroupMatching(n_agents=3, n_states=4, definitely_not_a_knob=1)
-    assert any("definitely_not_a_knob" in r.message for r in caplog.records)
+    records = []
 
-    caplog.clear()
-    with caplog.at_level(logging.WARNING, logger="refil_tpu"):
+    class Collect(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("refil_tpu")
+    handler = Collect(level=logging.WARNING)
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.WARNING)
+    try:
+        env_base._warned_env_args.clear()  # warn-once is per-process
+        GroupMatching(n_agents=3, n_states=4, definitely_not_a_knob=1)
+        assert any("definitely_not_a_knob" in m for m in records), records
+
+        records.clear()
         FlatBattle(map_name="3m", continuing_episode=False, debug=False)
-    assert not caplog.records
+        assert not records, records
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
