@@ -21,7 +21,8 @@ def main():
     from refil_tpu.runners.vector_runner import VectorRunner
 
     out = sys.argv[1] if len(sys.argv) > 1 else "results/corridor_eval.mp4"
-    env = FlatBattle(map_name="corridor", episode_limit=100)
+    map_name = sys.argv[2] if len(sys.argv) > 2 else "corridor"
+    env = FlatBattle(map_name=map_name, episode_limit=100)
     info = env.env_info()
     args = Args(
         batch_size_run=1, epsilon_start=0.3, epsilon_finish=0.3,
