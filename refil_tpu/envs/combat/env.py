@@ -34,6 +34,11 @@ from . import units as U
 from .scenarios import CompiledScenarios, compile_scenarios
 
 _FAR = 1000.0
+# chasers stop this far INSIDE weapon range: halting at exactly w_range makes
+# the post-move `dist <= w_range` fire check floating-point luck (a melee unit
+# parked at 1.5000001 whiffs forever); SC2 itself closes slightly inside range
+# (unit radii). Kiters hold threats at this same slack inside max range.
+_RANGE_SLACK = 0.1
 
 
 class CombatState(NamedTuple):
@@ -88,6 +93,8 @@ class EntityBattle:
         map_size: float = 32.0,
         pathing_grid=None,
         terrain_height=None,
+        difficulty: str = "7",
+        heuristic_rest: bool = False,
         **unused,
     ):
         assert entity_scheme, "EntityBattle only supports the entity scheme"
@@ -97,14 +104,37 @@ class EntityBattle:
         warn_unused_env_args(
             "EntityBattle", unused,
             accepted=(
-                "continuing_episode", "difficulty", "game_version", "seed",
+                "continuing_episode", "game_version", "seed",
                 "replay_dir", "replay_prefix", "debug", "heuristic_ai",
-                "heuristic_rest", "obs_all_health", "obs_instead_of_state",
+                "obs_all_health", "obs_instead_of_state",
                 "obs_own_health", "obs_last_action", "obs_pathing_grid",
                 "obs_terrain_height", "obs_timestep_number",
                 "state_last_action", "state_timestep_number",
             ),
         )
+        # enemy-bot difficulty ladder (the reference passes `difficulty` to
+        # the SC2 built-in bot, starcraft2custom.py:153,482; shipped configs
+        # use "7"). The stand-in maps the SC2 levels onto four scripted
+        # policies (see the enemy-AI block in step_state); measured
+        # heuristic-ally win rates against each on a symmetric 2-Stalker
+        # 3-Zealot army (tests/test_difficulty.py): 0.94 / 0.49 / 0.05 / 0.03.
+        #   "1"-"3"  tier 0: attack-move only — march on the ally spawn,
+        #            firing at whatever is in range, never chase
+        #   "4"-"6"  tier 1: nearest-engage — chase the nearest visible ally
+        #            into weapon range (r3's only policy)
+        #   "7"-"9"  tier 2: + overkill-aware focus fire on the lowest-health
+        #            ally in weapon range
+        #   "A"      tier 3 (CheatInsane): + range-kiting while the weapon
+        #            cools down
+        _DIFF_TIER = {
+            "1": 0, "2": 0, "3": 0,
+            "4": 1, "5": 1, "6": 1,
+            "7": 2, "8": 2, "9": 2,
+            "A": 3,
+        }
+        self.difficulty = str(difficulty)
+        self.enemy_tier = _DIFF_TIER.get(self.difficulty, 2)
+        self.heuristic_rest = bool(heuristic_rest)
         self.sc = compile_scenarios(scenario_dict)
         self.scenario_names = self.sc.names
         self.rotate = bool(scenario_dict.get("rotate", False))
@@ -519,14 +549,51 @@ class EntityBattle:
         is_agent_attack = is_attack & ~is_medivac & a_alive
         is_agent_heal = is_attack & is_medivac & a_alive
 
-        # ---- enemy AI: engage nearest living ally, else push attack point ----
+        # ---- enemy AI targeting: difficulty ladder (see ctor; the reference
+        # passes `difficulty` to the SC2 bot, starcraft2custom.py:482) ----
         d_ea = jnp.linalg.norm(
             state.e_pos[:, :, None] - state.a_pos[:, None, :], axis=-1
         )  # (B, Ne, Na)
         d_ea = jnp.where(a_alive[:, None, :], d_ea, _FAR)
-        e_target = jnp.argmin(d_ea, axis=2)  # (B, Ne)
-        e_target_dist = jnp.min(d_ea, axis=2)
-        e_sees = e_target_dist <= self.sight_range
+        nearest_a = jnp.argmin(d_ea, axis=2)  # (B, Ne)
+        nearest_dist = jnp.min(d_ea, axis=2)
+        if self.enemy_tier >= 2:
+            # overkill-aware focus fire: enemies pick targets in slot order,
+            # each choosing the lowest-(health+shield) ally IN WEAPON RANGE
+            # whose hp is not already lethally covered by earlier picks this
+            # step — kill-stacking without wasted volleys. Restricting the
+            # pick to weapon range keeps movement honest: units still chase
+            # whatever is closest (an enemy that paths across the ally army
+            # toward the weakest target eats free damage and plays WORSE
+            # than tier 1). Unrolled over the <=8 enemy slots.
+            a_hp_now = state.a_health + state.a_shield  # (B, Na)
+            e_wr_t = self.weapon_range[state.e_type]  # (B, Ne)
+            in_rng = d_ea <= e_wr_t[:, :, None]  # (B, Ne, Na)
+            e_dmg_pot = self.damage[state.e_type] * e_alive  # (B, Ne)
+            alloc = jnp.zeros_like(a_hp_now)
+            barange = jnp.arange(B)
+            picks = []
+            for i in range(Ne):
+                eff = a_hp_now - alloc
+                rng_i = in_rng[:, i, :]
+                score = jnp.where(
+                    rng_i & (eff > 0), eff + 1e-3 * d_ea[:, i, :], jnp.inf
+                )
+                # every in-range ally lethally covered: restack on lowest hp
+                fallback = jnp.where(
+                    rng_i, a_hp_now + 1e-3 * d_ea[:, i, :], jnp.inf
+                )
+                none_left = ~jnp.isfinite(score).any(-1, keepdims=True)
+                tgt = jnp.argmin(jnp.where(none_left, fallback, score), axis=-1)
+                # nothing in weapon range at all: chase the nearest ally
+                tgt = jnp.where(rng_i.any(-1), tgt, nearest_a[:, i])
+                alloc = alloc.at[barange, tgt].add(e_dmg_pot[:, i])
+                picks.append(tgt)
+            e_target = jnp.stack(picks, axis=1)  # (B, Ne)
+        else:
+            e_target = nearest_a  # tiers 0/1 fight whatever is closest
+        e_target_dist = jnp.take_along_axis(d_ea, e_target[..., None], axis=2)[..., 0]
+        e_sees = nearest_dist <= self.sight_range
         e_engage = e_alive & e_sees & (~self.is_medivac_t[state.e_type])
 
         # ---- movement ----
@@ -543,10 +610,12 @@ class EntityBattle:
         tgt_pos = jnp.where(is_medivac[..., None], tgt_pos_heal, tgt_pos_atk)
         delta = tgt_pos - state.a_pos
         dist_t = jnp.linalg.norm(delta, axis=-1)
+        # weapon_range doubles as the Medivac heal range (units.py: 4.0)
         w_range = self.weapon_range[state.a_type]
-        heal_range = jnp.where(is_medivac, self.weapon_range[state.a_type], w_range)
-        chase_needed = dist_t > w_range
-        chase_amt = jnp.minimum(a_speed, jnp.maximum(dist_t - w_range, 0.0))
+        chase_needed = dist_t > w_range - _RANGE_SLACK
+        chase_amt = jnp.minimum(
+            a_speed, jnp.maximum(dist_t - (w_range - _RANGE_SLACK), 0.0)
+        )
         unit_delta = delta / jnp.maximum(dist_t, 1e-6)[..., None]
         chase_step = (
             chase_amt[..., None] * unit_delta * chase_needed[..., None]
@@ -558,23 +627,69 @@ class EntityBattle:
         )
         a_pos = self._apply_pathing(state.a_pos, a_disp, state.a_type)
 
-        # enemies: chase target into weapon range, or advance on attack point
+        # enemy movement by difficulty tier
         e_speed = self.speed_step[state.e_type]
-        e_tgt_pos = jnp.take_along_axis(state.a_pos, e_target[..., None], axis=1)
-        goal = jnp.where(
-            e_engage[..., None], e_tgt_pos, state.attack_point[:, None, :]
-        )
-        e_delta = goal - state.e_pos
-        e_dist = jnp.linalg.norm(e_delta, axis=-1)
         e_wr = self.weapon_range[state.e_type]
-        e_stop_at = jnp.where(e_engage, e_wr, 0.0)
-        e_amt = jnp.minimum(e_speed, jnp.maximum(e_dist - e_stop_at, 0.0))
-        e_disp = (
-            e_amt[..., None]
-            * e_delta
-            / jnp.maximum(e_dist, 1e-6)[..., None]
-            * e_alive[..., None]
-        )
+        e_tgt_pos = jnp.take_along_axis(state.a_pos, e_target[..., None], axis=1)
+        if self.enemy_tier == 0:
+            # attack-move only: march on the attack point firing at whatever
+            # happens to be in weapon range along the way — no halting at
+            # range, no chasing, no positioning (ranged units squander their
+            # range advantage by walking into the fray)
+            e_delta = state.attack_point[:, None, :] - state.e_pos
+            e_dist = jnp.linalg.norm(e_delta, axis=-1)
+            e_amt = jnp.minimum(e_speed, e_dist)
+            e_disp = (
+                e_amt[..., None]
+                * e_delta
+                / jnp.maximum(e_dist, 1e-6)[..., None]
+                * e_alive[..., None]
+            )
+        else:
+            # chase target into weapon range, or advance on attack point
+            goal = jnp.where(
+                e_engage[..., None], e_tgt_pos, state.attack_point[:, None, :]
+            )
+            e_delta = goal - state.e_pos
+            e_dist = jnp.linalg.norm(e_delta, axis=-1)
+            e_stop_at = jnp.where(e_engage, e_wr - _RANGE_SLACK, 0.0)
+            e_amt = jnp.minimum(e_speed, jnp.maximum(e_dist - e_stop_at, 0.0))
+            e_disp = (
+                e_amt[..., None]
+                * e_delta
+                / jnp.maximum(e_dist, 1e-6)[..., None]
+                * e_alive[..., None]
+            )
+            if self.enemy_tier >= 3:
+                # range-kite (stutter-step): while the weapon cools down,
+                # back off just enough to hold the nearest OUT-RANGED ally
+                # (e.g. a Zealot closing on a Stalker) at max weapon range —
+                # not a full-speed retreat, which would disengage entirely,
+                # and not keyed on the nearest ally overall, which in mixed
+                # armies is often an equal-range unit that never triggers it.
+                cooling = (state.e_cd - self.step_mul) > 0
+                a_wr = self.weapon_range[state.a_type]  # (B, Na)
+                outranged = a_wr[:, None, :] < e_wr[:, :, None] - 1e-3
+                d_thr = jnp.where(outranged, d_ea, _FAR)
+                thr = jnp.argmin(d_thr, axis=2)  # (B, Ne)
+                thr_dist = jnp.min(d_thr, axis=2)
+                kite = e_engage & cooling & (thr_dist <= e_wr)
+                thr_pos = jnp.take_along_axis(
+                    state.a_pos, thr[..., None], axis=1
+                )
+                away = state.e_pos - thr_pos
+                away = away / jnp.maximum(
+                    jnp.linalg.norm(away, axis=-1), 1e-6
+                )[..., None]
+                back = jnp.minimum(
+                    e_speed,
+                    jnp.maximum((e_wr - _RANGE_SLACK) - thr_dist, 0.0),
+                )
+                e_disp = jnp.where(
+                    kite[..., None],
+                    back[..., None] * away * e_alive[..., None],
+                    e_disp,
+                )
         e_pos = self._apply_pathing(state.e_pos, e_disp, state.e_type)
 
         # ---- combat resolution (post-movement positions) ----
@@ -622,7 +737,7 @@ class EntityBattle:
             heal_tgt_alive = jnp.take_along_axis(a_alive, heal_slot, axis=1)
             can_heal = (
                 is_agent_heal
-                & (heal_dist <= heal_range)
+                & (heal_dist <= w_range)
                 & heal_tgt_alive
                 & (state.a_energy >= U.MEDIVAC_ENERGY_PER_STEP)
             )
@@ -808,14 +923,21 @@ class EntityBattle:
     ) -> jnp.ndarray:
         """Scripted ally policy (stand-in for the reference ``heuristic_ai``,
         ``get_agent_action_heuristic:781-877``): attackers target the nearest
-        living enemy (attack if its tag-action is available, else move toward
-        it); Medivacs heal the nearest damaged non-Medivac ally.
+        living enemy; Medivacs heal the nearest damaged non-Medivac ally.
 
-        ``avail``: the (B, Na, A) availability mask. Like the reference
-        heuristic (which checks ``avail_actions`` before emitting,
-        ``:841-843,864-875``), the chosen action is gated to be legal via a
-        fallback chain: desired attack/heal -> move toward target -> any
-        available move (N/S/E/W) -> stop -> no-op."""
+        ``heuristic_rest`` selects between the reference's two emit modes
+        (``:832-845``):
+          * False (the reference default): emit the raw attack/heal intent at
+            the chosen target regardless of availability — the engine walks
+            the unit into range (our step dynamics chase out-of-range
+            targets), exactly like SC2 executing an attack order from afar;
+          * True: when the attack/heal action is unavailable, rest — move
+            toward the target instead, gated to be legal via a fallback
+            chain: desired attack/heal -> move toward target -> any
+            available move (N/S/E/W) -> stop -> no-op.
+
+        ``avail``: the (B, Na, A) availability mask (only consulted when
+        ``heuristic_rest`` is True)."""
         B = state.t.shape[0]
         Na, Ne = self.max_na, self.max_ne
         a_alive = (state.a_health > 0) & state.a_active
@@ -858,6 +980,14 @@ class EntityBattle:
         ew = jnp.where(delta[..., 0] > 0, 4, 5)  # east/west
         ns = jnp.where(delta[..., 1] > 0, 2, 3)  # north/south
         move_act = jnp.where(jnp.abs(delta[..., 0]) > jnp.abs(delta[..., 1]), ew, ns)
+
+        if not self.heuristic_rest:
+            # raw intent: attack/heal the target even when out of range (the
+            # step dynamics chase it into range, like SC2 executing the
+            # order); no target -> no-op, matching the reference's
+            # ``return None, 0`` (:793-804,818-824)
+            act = jnp.where(has_target & a_alive, want, 0)
+            return act.astype(jnp.int32)
 
         in_range = jnp.where(is_med, tgt_a_dist, tgt_e_dist) <= self.shoot_range
         act = jnp.where(in_range, want, move_act)

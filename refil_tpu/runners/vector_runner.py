@@ -272,9 +272,14 @@ class VectorRunner:
         test_scen: Optional[bool] = None,
         index: Optional[int] = None,
         record: bool = False,
+        batch_size: Optional[int] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Run one episode block; returns the device-resident episode batch and
-        logs runner stats (reference ``parallel_runner.py:96-235``)."""
+        logs runner stats (reference ``parallel_runner.py:96-235``).
+
+        ``batch_size`` overrides the config block size for this call — used by
+        the fused loop to run a full ``test_nepisode`` evaluation block in ONE
+        dispatch instead of ``test_nepisode // batch_size_run`` round trips."""
         if test_scen is None:
             test_scen = test_mode
         self.epsilon = self.schedule.eval_host(self.t_env)
@@ -284,7 +289,7 @@ class VectorRunner:
             key,
             jnp.asarray(eps, jnp.float32),
             jnp.asarray(-1 if index is None else int(index), jnp.int32),
-            batch_size=self.batch_size,
+            batch_size=self.batch_size if batch_size is None else int(batch_size),
             test=bool(test_scen),
             record=bool(record),
         )
@@ -310,6 +315,7 @@ class VectorRunner:
         ep_returns = stats["ep_returns"]
         ep_lengths = stats["ep_lengths"]
         final_info = stats["final_info"]
+        block_bs = int(np.asarray(ep_returns).shape[0])  # actual block size
 
         cur_stats = self.test_stats if test_mode else self.train_stats
         cur_returns = self.test_returns if test_mode else self.train_returns
@@ -320,10 +326,10 @@ class VectorRunner:
             # cumulative battle stats over the run (train AND test episodes,
             # like the reference's env-lifetime counters)
             self.battles_won += int(final_info["battle_won"].sum())
-            self.battles_game += self.batch_size
+            self.battles_game += block_bs
             if "episode_limit" in final_info:
                 self.timeouts += int(final_info["episode_limit"].sum())
-        cur_stats["n_episodes"] = self.batch_size + cur_stats.get("n_episodes", 0)
+        cur_stats["n_episodes"] = block_bs + cur_stats.get("n_episodes", 0)
         cur_stats["ep_length"] = float(ep_lengths.sum()) + cur_stats.get("ep_length", 0.0)
         cur_returns.extend(ep_returns.tolist())
 

@@ -1,0 +1,107 @@
+"""Measure PRODUCTION-CLI training throughput against `bench_ours` (VERDICT
+r3 weak #1 done-criterion: CLI within ~10% of the bench at B=8 and B=512).
+
+The CLI number drives the real `run()` entry (multi-block fused dispatch,
+logging, cadence checks); throughput is value-forced — computed from the
+on-device t_env the loop itself fetches per dispatch, between two wall-clock
+stamps host-side (never from block_until_ready, which lies on the axon
+tunnel — CLAUDE.md "TPU timing").
+
+Usage: python scripts/cli_vs_bench.py [gm|combat] [B ...]
+Prints one line per configuration; run on the TPU host.
+"""
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def cli_throughput(kind: str, B: int, t_max: int):
+    """Run the real CLI for t_max env steps; return steps/s over the
+    post-warmup portion (timer starts after the first test/log boundary so
+    compile time is excluded)."""
+    from refil_tpu import run as run_mod
+    from refil_tpu.main import parse_cli
+    from refil_tpu.config import load_config
+
+    marks = []
+    orig = run_mod._run_fused_loop
+
+    def timed_loop(args, runner, learner, state, logger, key, timer,
+                   start_time, **kw):
+        class R:
+            pass
+        # sample (wallclock, t_env) at every dispatch by wrapping the runner's
+        # t_env attribute access — simplest: poll via a logger hook
+        orig_account = runner.account_block
+
+        def account(stats, test_mode=False):
+            orig_account(stats, test_mode=test_mode)
+            if not test_mode:
+                marks.append((time.perf_counter(), runner.t_env))
+
+        runner.account_block = account
+        return orig(args, runner, learner, state, logger, key, timer,
+                    start_time, **kw)
+
+    run_mod._run_fused_loop = timed_loop
+    try:
+        if kind == "gm":
+            argv = ["--config=refil_group_matching",
+                    "--env-config=group_matching", "with"]
+        else:
+            argv = ["--config=refil", "--env-config=sc2custom", "with",
+                    "scenario=3-8sz_symmetric"]
+        argv += [
+            f"batch_size_run={B}",
+            f"buffer_size={max(5000 if kind != 'gm' else 2000, 2 * B)}",
+            f"t_max={t_max}",
+            "test_interval=100000000",  # exclude test rollouts: measure the
+            "test_nepisode=8",          # training path, like bench_ours
+            "log_interval=100000000",
+            "runner_log_interval=100000000",
+            "learner_log_interval=100000000",
+            "save_model=False",
+            "local_results_path=/tmp/cli_vs_bench",
+        ]
+        alg, env, overrides = parse_cli(argv)
+        config = load_config(alg=alg, env=env, overrides=overrides)
+        run_mod.run(config)
+    finally:
+        run_mod._run_fused_loop = orig
+
+    # drop the warmup/compile prefix: start at 25% of the marks
+    i0 = max(1, len(marks) // 4)
+    (w0, t0), (w1, t1) = marks[i0], marks[-1]
+    return (t1 - t0) / (w1 - w0), len(marks)
+
+
+def main():
+    kind = sys.argv[1] if len(sys.argv) > 1 else "gm"
+    bs = [int(b) for b in sys.argv[2:]] or [8, 512]
+    import bench
+
+    for B in bs:
+        if kind == "gm":
+            t_max = 60000 if B == 8 else 1500000
+            ours = bench.bench_ours(n_blocks=30, batch_size_run=B)
+        else:
+            t_max = 40000 if B == 8 else 1200000
+            ours = bench.bench_combat(
+                n_blocks=10, batch_size_run=B
+            )["combat_env_steps_per_s"]
+        cli, n = cli_throughput(kind, B, t_max)
+        print(json.dumps({
+            "kind": kind, "B": B,
+            "cli_env_steps_per_s": round(cli, 1),
+            "bench_env_steps_per_s": round(float(ours), 1),
+            "cli_over_bench": round(cli / float(ours), 3),
+            "n_dispatches": n,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Enemy-bot difficulty ladder (reference `difficulty` knob,
+starcraft2custom.py:153,482) and the two heuristic_rest emit modes
+(starcraft2custom.py:832-845)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refil_tpu.envs.combat.env import EntityBattle
+from refil_tpu.envs.combat.scenarios import SCENARIO_REGISTRY, fixed_armies
+
+
+def _rollout(env, B, seed, policy="heuristic", max_steps=None):
+    state, obs = env.reset(jax.random.PRNGKey(seed), B)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(seed + 100)
+    wins = np.zeros(B, bool)
+    done_all = np.zeros(B, bool)
+    for _ in range(max_steps or env.episode_limit):
+        key, k = jax.random.split(key)
+        acts = env.heuristic_actions(state, obs["avail_actions"])
+        state, obs, rew, done, info = step(state, acts, k)
+        wins |= np.asarray(info["battle_won"]) & ~done_all
+        done_all |= np.asarray(done)
+        if done_all.all():
+            break
+    return float(wins.mean()), state
+
+
+def _heuristic_win_rate(difficulty: str, B: int = 512, seed: int = 0) -> float:
+    """Scripted heuristic allies vs the scripted enemy at ``difficulty`` on a
+    symmetric Protoss army, where every tier's extra trick matters: the
+    mirror matchup sits near 0.5 at tier 1, overkill-aware focus fire bursts
+    through shield regen at tier 2, and Stalkers (range 6) kite Zealots
+    (range 1.5) at tier 3."""
+    sd = fixed_armies(
+        [(2, "Stalker"), (3, "Zealot")], [(2, "Stalker"), (3, "Zealot")],
+        separation=10, jitter=1, episode_limit=150,
+    )
+    env = EntityBattle(scenario_dict=sd, difficulty=difficulty)
+    w, _ = _rollout(env, B, seed)
+    return w
+
+
+def test_difficulty_monotone_win_rate():
+    """The same scripted ally policy must win strictly less as the enemy
+    difficulty rises: tier 0 (attack-move) > tier 1 (nearest-engage) >
+    tier 2 (+ focus fire) > tier 3 (+ kite). Measured means at B=512 x 2
+    seeds: 0.939 / 0.487 / 0.054 / 0.027 (deterministic under these keys)."""
+    w1 = np.mean([_heuristic_win_rate("1", seed=s) for s in (0, 1)])
+    w4 = np.mean([_heuristic_win_rate("4", seed=s) for s in (0, 1)])
+    w7 = np.mean([_heuristic_win_rate("7", seed=s) for s in (0, 1)])
+    wA = np.mean([_heuristic_win_rate("A", seed=s) for s in (0, 1)])
+    assert w1 > w4 > w7 > wA, (w1, w4, w7, wA)
+
+
+def test_difficulty_knob_consumed(caplog):
+    """`difficulty` is a real constructor parameter now — it must not appear
+    in the accepted-but-inert warning set."""
+    import logging
+
+    sd = SCENARIO_REGISTRY["1-5m_symmetric"]()
+    with caplog.at_level(logging.WARNING, logger="refil_tpu"):
+        env = EntityBattle(scenario_dict=sd, difficulty="3", heuristic_rest=True)
+    assert env.enemy_tier == 0
+    assert env.heuristic_rest is True
+    assert "difficulty" not in caplog.text
+    assert "heuristic_rest" not in caplog.text
+
+
+def test_tier3_stalker_kites_zealot():
+    """Tier 3 ("A") in open field: an enemy Stalker (range 6, speed 4.13)
+    kites a chasing ally Zealot (range 1.5, speed 3.15) — lands hits while
+    never letting the zealot into melee range. (Straight-line kiting
+    eventually corners at a map edge, so assert over the open-field prefix
+    on a big map rather than a full duel.)"""
+    sd = fixed_armies([(1, "Zealot")], [(1, "Stalker")],
+                      separation=8, episode_limit=150)
+    env = EntityBattle(scenario_dict=sd, difficulty="A", map_size=64.0)
+    state, obs = env.reset(jax.random.PRNGKey(3), 1)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(4)
+    min_d = np.inf
+    for t in range(25):  # the straight-line kite reaches the wall at ~t=28
+        key, k = jax.random.split(key)
+        # ally heuristic: raw attack intent -> chase the stalker
+        acts = env.heuristic_actions(state, obs["avail_actions"])
+        state, obs, rew, done, info = step(state, acts, k)
+        min_d = min(min_d, float(jnp.linalg.norm(state.a_pos[0, 0] - state.e_pos[0, 0])))
+        assert not bool(np.asarray(done)[0])
+    zealot_ehp = float(state.a_health[0, 0] + state.a_shield[0, 0])
+    stalker_ehp = float(state.e_health[0, 0] + state.e_shield[0, 0])
+    assert zealot_ehp < 150.0 - 2 * 13.0, "stalker landed <2 hits while kiting"
+    assert stalker_ehp == 160.0, "zealot hit the kiting stalker"
+    assert min_d > 1.5, f"zealot entered melee range ({min_d})"
+
+
+def test_tier0_never_chases():
+    """A tier-0 enemy walks to the attack point (the ally spawn CoM) and does
+    not pursue allies that leave it; tier 1 chases."""
+    def final_dist_to_ally(difficulty):
+        sd = fixed_armies([(1, "Marine")], [(1, "Marine")],
+                          separation=12, episode_limit=60)
+        env = EntityBattle(scenario_dict=sd, difficulty=difficulty)
+        state, obs = env.reset(jax.random.PRNGKey(5), 1)
+        step = jax.jit(env.step)
+        key = jax.random.PRNGKey(6)
+        for _ in range(25):
+            key, k = jax.random.split(key)
+            # ally runs east, away from its spawn / the approaching enemy
+            acts = jnp.full((1, env.max_na), 4, jnp.int32)
+            state, obs, rew, done, info = step(state, acts, k)
+        d_ally = float(jnp.linalg.norm(state.a_pos[0, 0] - state.e_pos[0, 0]))
+        d_point = float(jnp.linalg.norm(state.attack_point[0] - state.e_pos[0, 0]))
+        return d_ally, d_point
+
+    d_ally0, d_point0 = final_dist_to_ally("1")
+    d_ally1, _ = final_dist_to_ally("4")
+    assert d_point0 < 1.0, d_point0  # tier 0 parked on the attack point
+    assert d_ally0 > d_ally1 + 2.0, (d_ally0, d_ally1)  # tier 1 pursued
+
+
+def test_heuristic_rest_false_emits_raw_intent():
+    """heuristic_rest=False (the reference default): the heuristic emits the
+    attack action at its target even when out of range/unavailable — the env
+    dynamics chase it into range, like SC2 executing the order."""
+    sd = fixed_armies([(2, "Marine")], [(2, "Marine")], separation=20)
+    env = EntityBattle(scenario_dict=sd)  # heuristic_rest defaults False
+    state, obs = env.reset(jax.random.PRNGKey(7), 1)
+    acts = np.asarray(env.heuristic_actions(state, obs["avail_actions"]))
+    # at separation 20 no enemy is within shoot range, so the attack action
+    # is unavailable — the raw intent must still be an attack (>= 6)
+    avail = np.asarray(obs["avail_actions"])
+    assert (acts >= 6).all(), acts
+    taken_ok = np.take_along_axis(avail, acts[..., None], axis=-1)[..., 0]
+    assert not taken_ok.any(), "attack should be unavailable at range 20"
+
+    # rest=True on the same state: every emitted action is legal
+    env_rest = EntityBattle(scenario_dict=sd, heuristic_rest=True)
+    acts_r = np.asarray(env_rest.heuristic_actions(state, obs["avail_actions"]))
+    taken_ok_r = np.take_along_axis(avail, acts_r[..., None], axis=-1)[..., 0]
+    assert taken_ok_r.all(), acts_r

@@ -52,12 +52,13 @@ def test_heuristic_actions_valid():
 
 
 def test_heuristic_actions_always_legal():
-    """Every heuristic action must satisfy avail_actions at every step of a
-    full rollout, Medivacs included (reference get_agent_action_heuristic only
-    ever emits legal actions, starcraft2custom.py:781-877)."""
+    """With heuristic_rest=True every heuristic action must satisfy
+    avail_actions at every step of a full rollout, Medivacs included (the
+    rest branch of the reference heuristic moves instead of emitting an
+    unavailable attack, starcraft2custom.py:832-845)."""
     for scen in ("3-8MMM_symmetric", "1-5m_symmetric"):
         sd = SCENARIO_REGISTRY[scen]()
-        env = EntityBattle(scenario_dict=sd)
+        env = EntityBattle(scenario_dict=sd, heuristic_rest=True)
         B = 6
         key = jax.random.PRNGKey(5)
         state, obs = env.reset(jax.random.PRNGKey(4), B)
