@@ -41,8 +41,10 @@ def _build(batch_size_run: int):
     cfg["buffer_size"] = max(cfg["buffer_size"], batch_size_run)
     args = config_to_args(args_sanity_check(cfg))
     from refil_tpu.ops.attention import configure_attention_impl
+    from refil_tpu.ops.pallas_gru import configure_gru_impl
 
     configure_attention_impl(True)
+    configure_gru_impl(True)
     args.entity_scheme = True
     env = GroupMatching(**cfg["env_args"])
     info = env.env_info()
@@ -166,6 +168,7 @@ def _build_combat(batch_size_run: int, scenario: str = "3-8sz_symmetric",
     from refil_tpu.controllers.mac import MAC_REGISTRY
     from refil_tpu.learners.q_learner import QLearner
     from refil_tpu.ops.attention import configure_attention_impl
+    from refil_tpu.ops.pallas_gru import configure_gru_impl
     from refil_tpu.run import _dummy_batch, build_env
     from refil_tpu.runners.vector_runner import VectorRunner
 
@@ -178,6 +181,7 @@ def _build_combat(batch_size_run: int, scenario: str = "3-8sz_symmetric",
     cfg["buffer_size"] = max(cfg["batch_size"], 2 * batch_size_run)
     args = config_to_args(args_sanity_check(cfg))
     configure_attention_impl(True)
+    configure_gru_impl(True)
     args.entity_scheme = True
     env = build_env(args)
     info = env.env_info()

@@ -10,8 +10,10 @@ Parity targets:
 TPU-first design:
   * the whole (B, T) grid is flattened into one batched attention call — a
     single set of large MXU matmuls instead of per-step calls;
-  * the GRU runs under ``jax.lax.scan`` (via ``nn.RNN``) instead of the
-    reference's Python loop over timesteps (``entity_rnn_agent.py:51-55``);
+  * the GRU runs as one sequence program (``GRUSequence``: input projection
+    hoisted to a single MXU matmul + ``lax.scan`` or fused Pallas recurrence)
+    instead of the reference's Python loop over timesteps
+    (``entity_rnn_agent.py:51-55``);
   * REFIL's ×3 [full, within-group, across-group] pass tiles the *batch* axis
     (``entity_rnn_agent.py:119-126``), which shards cleanly over a data mesh.
 
@@ -27,26 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.masks import build_imagine_masks
-from .layers import TorchLinear, make_entity_layer
+from .layers import GRUSequence, TorchLinear, make_entity_layer
 
 
-def _uniform_init(bound: float):
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
-
-
-def _torch_gru_cell(hidden_dim: int, name: str) -> nn.GRUCell:
-    """GRUCell with torch-default U(-1/sqrt(H), 1/sqrt(H)) init everywhere."""
-    bound = 1.0 / math.sqrt(hidden_dim)
-    return nn.GRUCell(
-        features=hidden_dim,
-        kernel_init=_uniform_init(bound),
-        recurrent_kernel_init=_uniform_init(bound),
-        bias_init=_uniform_init(bound),
-        name=name,
-    )
+# GRU: GRUSequence (modules/layers.py) replaces nn.RNN(GRUCell) — identical
+# gate math, init and parameter tree, with the input projection hoisted out
+# of the recurrence and an optional fused Pallas kernel (ops/pallas_gru.py)
 
 
 class EntityAttentionFFAgent(nn.Module):
@@ -142,7 +130,7 @@ class EntityAttentionRNNAgent(nn.Module):
             name="attn",
         )
         self.fc2 = TorchLinear(self.rnn_hidden_dim, name="fc2")
-        self.rnn = nn.RNN(_torch_gru_cell(self.rnn_hidden_dim, "gru"), name="rnn_scan")
+        self.rnn = GRUSequence(features=self.rnn_hidden_dim, name="gru")
         self.fc3 = TorchLinear(self.n_actions, name="fc3")
 
     def _base_forward(self, entities, obs_mask, entity_mask, hidden, ret_attn_logits=None):
@@ -168,7 +156,7 @@ class EntityAttentionRNNAgent(nn.Module):
         x3 = x3.transpose(0, 2, 1, 3).reshape(B * self.n_agents, T, self.rnn_hidden_dim)
 
         h0 = hidden.reshape(B * self.n_agents, self.rnn_hidden_dim)
-        h_last, hs = self.rnn(x3, initial_carry=h0, return_carry=True)
+        h_last, hs = self.rnn(x3, h0)
         hs = hs.reshape(B, self.n_agents, T, self.rnn_hidden_dim).transpose(0, 2, 1, 3)
 
         q = self.fc3(hs)  # (B, T, Na, A)
@@ -323,12 +311,8 @@ class RNNAgent(nn.Module):
         B, T, Na, D = inputs.shape
         x = nn.relu(TorchLinear(self.rnn_hidden_dim, name="fc1")(inputs))
         x = x.transpose(0, 2, 1, 3).reshape(B * Na, T, self.rnn_hidden_dim)
-        rnn = nn.RNN(_torch_gru_cell(self.rnn_hidden_dim, "gru"), name="rnn_scan")
-        h_last, hs = rnn(
-            x,
-            initial_carry=hidden.reshape(B * Na, self.rnn_hidden_dim),
-            return_carry=True,
-        )
+        rnn = GRUSequence(features=self.rnn_hidden_dim, name="gru")
+        h_last, hs = rnn(x, hidden.reshape(B * Na, self.rnn_hidden_dim))
         hs = hs.reshape(B, Na, T, self.rnn_hidden_dim).transpose(0, 2, 1, 3)
         q = TorchLinear(self.n_actions, name="fc2")(hs)
         return q, h_last.reshape(B, Na, self.rnn_hidden_dim)

@@ -135,6 +135,74 @@ class EntityPoolingLayer(nn.Module):
         return out
 
 
+class _ProjParams(nn.Module):
+    """Child scope holding one projection's parameters, named/shaped exactly
+    like the ``flax.linen.GRUCell`` Dense children (`ir`/`iz`/`in` with bias,
+    `hr`/`hz` without, `hn` with) so checkpoints interoperate with the
+    previous ``nn.RNN(GRUCell)`` stack."""
+
+    fan_in: int
+    features: int
+    use_bias: bool = True
+    bound: Optional[float] = None
+
+    @nn.compact
+    def __call__(self):
+        bound = self.bound if self.bound is not None else 1.0 / math.sqrt(self.fan_in)
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", uinit, (self.fan_in, self.features))
+        bias = self.param("bias", uinit, (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
+class GRUSequence(nn.Module):
+    """GRU over a sequence with the input projection hoisted out of the
+    recurrence (one large MXU matmul instead of a per-scan-step Dense) and an
+    optional fused Pallas recurrence kernel (``ops/pallas_gru.py``).
+
+    Replaces ``nn.RNN(GRUCell)`` (reference GRU python loop,
+    ``entity_rnn_agent.py:51-55``): same gate math, same parameter tree, same
+    ``(h_last, hs)`` return. ``xs``: (R, T, D), ``h0``: (R, H). GRUCell's
+    torch-parity init bound (1/sqrt(H) everywhere) is preserved."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, xs, h0):
+        from ..ops.pallas_gru import gru_sequence
+
+        H = self.features
+        bound = 1.0 / math.sqrt(H)
+        D = xs.shape[-1]
+        proj = lambda name, use_bias=True: _ProjParams(
+            fan_in=D if name.startswith("i") else H,
+            features=H, use_bias=use_bias, bound=bound, name=name,
+        )()
+        k_ir, b_ir = proj("ir")
+        k_iz, b_iz = proj("iz")
+        k_in, b_in = proj("in")
+        k_hr, _ = proj("hr", use_bias=False)
+        k_hz, _ = proj("hz", use_bias=False)
+        k_hn, b_hn = proj("hn")
+
+        wi = jnp.concatenate([k_ir, k_iz, k_in], axis=-1)  # (D, 3H)
+        bi = jnp.concatenate([b_ir, b_iz, b_in], axis=-1)
+        wh = jnp.concatenate([k_hr, k_hz, k_hn], axis=-1)  # (H, 3H)
+
+        # TorchLinear convention: weights cast to the activation dtype (bf16
+        # configs keep the MXU in bf16); the recurrence carry stays f32
+        xw = xs @ wi.astype(xs.dtype) + bi.astype(xs.dtype)  # (R, T, 3H)
+        hs = gru_sequence(
+            jnp.swapaxes(xw, 0, 1), wh.astype(xs.dtype),
+            b_hn.astype(jnp.float32), h0,
+        )  # (T, R, H)
+        hs = jnp.swapaxes(hs, 0, 1)
+        return hs[:, -1], hs
+
+
 def make_entity_layer(
     embed_dim: int,
     out_dim: int,

@@ -25,7 +25,7 @@ accumulates ``dW_h``/``db_hn`` across the sequential grid like the attention
 backward does (``ops/pallas_attn.py``).
 
 Gate math matches ``flax.linen.GRUCell`` exactly (the torch-parity cell used
-by the agents, ``modules/agents.py:_torch_gru_cell``):
+by the agents, with the torch-default U(-1/sqrt(H), 1/sqrt(H)) init):
 
   r = sigmoid(xw_r + h @ W_hr)          # no hidden bias on r/z in flax
   z = sigmoid(xw_z + h @ W_hz)
@@ -52,6 +52,7 @@ except Exception:  # pragma: no cover
 
 
 _GRU_IMPL = "xla"
+_INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
 def set_gru_impl(impl: str) -> None:
@@ -201,6 +202,7 @@ def _pallas_fwd(xw, wh, bhn, h0):
         ],
         out_specs=pl.BlockSpec((1, Rp, H), lambda t: (t, 0, 0)),
         scratch_shapes=[pltpu.VMEM((Rp, H), jnp.float32)],
+        interpret=_INTERPRET,
     )(xw_p, wh.astype(cdt), bhn.reshape(1, H).astype(cdt), h0_p)
     return hs[:, :R0]
 
@@ -241,6 +243,7 @@ def _pallas_bwd(xw, hs, h0, wh, bhn, g):
             pl.BlockSpec((Rp, H), lambda i: (0, 0)),
         ),
         scratch_shapes=[pltpu.VMEM((Rp, H), jnp.float32)],
+        interpret=_INTERPRET,
     )(xw_p, g_p, hs_p, h0_p, wh.astype(cdt), bhn.reshape(1, H).astype(cdt))
     return dxw[:, :R0], dwh, dbhn.reshape(H), dh0[:R0]
 

@@ -101,8 +101,10 @@ def run(config: Dict[str, Any]) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from .ops.attention import configure_attention_impl
+    from .ops.pallas_gru import configure_gru_impl
 
     configure_attention_impl(bool(getattr(args, "use_pallas_attention", False)))
+    configure_gru_impl(bool(getattr(args, "use_pallas_gru", False)))
 
     logger.console_logger.info(
         "Experiment Parameters:\n\n%s\n", pprint.pformat(config, indent=4, width=1)

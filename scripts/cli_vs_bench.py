@@ -73,9 +73,16 @@ def cli_throughput(kind: str, B: int, t_max: int):
     finally:
         run_mod._run_fused_loop = orig
 
-    # drop the warmup/compile prefix: start at 25% of the marks
-    i0 = max(1, len(marks) // 4)
-    (w0, t0), (w1, t1) = marks[i0], marks[-1]
+    # steps/s over the central 25-75% t_env window: outside it live the
+    # initial jit traces / persistent-cache loads and the tail's smaller
+    # dispatch programs' first loads; inside it the loop replays one already
+    # -loaded program. The caller must still have warmed the persistent
+    # cache (a cold first invocation measures XLA compiles, not training).
+    lo = next(m for m in marks if m[1] >= 0.25 * t_max)
+    hi = next(m for m in reversed(marks) if m[1] <= 0.75 * t_max)
+    (w0, t0), (w1, t1) = lo, hi
+    if w1 <= w0:  # window fell inside one dispatch: use all marks instead
+        (w0, t0), (w1, t1) = marks[1], marks[-1]
     return (t1 - t0) / (w1 - w0), len(marks)
 
 
@@ -85,21 +92,25 @@ def main():
     import bench
 
     for B in bs:
+        # t_max sized so the 25-75% window spans several max-size dispatches
         if kind == "gm":
-            t_max = 60000 if B == 8 else 1500000
+            t_max = 150000 if B == 8 else 5000000
             ours = bench.bench_ours(n_blocks=30, batch_size_run=B)
         else:
-            t_max = 40000 if B == 8 else 1200000
+            t_max = 250000 if B == 8 else 8000000
             ours = bench.bench_combat(
                 n_blocks=10, batch_size_run=B
             )["combat_env_steps_per_s"]
+        # pass 1 fills the persistent XLA cache (every pow2 scan length the
+        # dispatch ladder uses); pass 2 is the measurement
+        cli_throughput(kind, B, t_max)
         cli, n = cli_throughput(kind, B, t_max)
         print(json.dumps({
             "kind": kind, "B": B,
             "cli_env_steps_per_s": round(cli, 1),
             "bench_env_steps_per_s": round(float(ours), 1),
             "cli_over_bench": round(cli / float(ours), 3),
-            "n_dispatches": n,
+            "n_blocks": n,
         }), flush=True)
 
 
