@@ -177,8 +177,11 @@ def _build_combat(batch_size_run: int, scenario: str = "3-8sz_symmetric",
     cfg["batch_size_run"] = batch_size_run
     if compute_dtype:
         cfg["compute_dtype"] = compute_dtype
-    # ring sized to the insert batch (bench measures throughput, not recall)
-    cfg["buffer_size"] = max(cfg["batch_size"], 2 * batch_size_run)
+    # the SHIPPED ring (refil.yaml: 5000 episodes), grown only when the env
+    # batch itself outsizes it — the bench must measure the production
+    # configuration, ring update included (r4: the insert is a contiguous
+    # in-place dynamic-update-slice, so ring size no longer costs a copy)
+    cfg["buffer_size"] = max(cfg["buffer_size"], 2 * batch_size_run)
     args = config_to_args(args_sanity_check(cfg))
     configure_attention_impl(True)
     configure_gru_impl(True)

@@ -180,12 +180,27 @@ class FusedPipeline:
                 batch,
             )
 
-        positions = (pstate.buffer_index + jnp.arange(B, dtype=jnp.int32)) % (
-            self.buffer_size
-        )
-        buffer = jax.tree.map(
-            lambda buf, b: buf.at[positions].set(b), pstate.buffer, batch
-        )
+        if self.buffer_size % B == 0:
+            # the insert window never wraps (start is always a multiple of
+            # B), so it is ONE contiguous dynamic-update-slice — the pattern
+            # XLA is guaranteed to perform in-place on the donated/scan-
+            # carried ring. A gather-scatter here can make XLA copy the
+            # whole multi-GB ring every block inside ``run_blocks``'s scan.
+            start = pstate.buffer_index
+            buffer = jax.tree.map(
+                lambda buf, b: jax.lax.dynamic_update_slice_in_dim(
+                    buf, b.astype(buf.dtype), start, axis=0
+                ),
+                pstate.buffer,
+                batch,
+            )
+        else:
+            positions = (
+                pstate.buffer_index + jnp.arange(B, dtype=jnp.int32)
+            ) % self.buffer_size
+            buffer = jax.tree.map(
+                lambda buf, b: buf.at[positions].set(b), pstate.buffer, batch
+            )
         buffer_index = (pstate.buffer_index + B) % self.buffer_size
         episodes_in_buffer = jnp.minimum(
             pstate.episodes_in_buffer + B, self.buffer_size

@@ -566,11 +566,13 @@ def _run_fused_loop(args, runner, learner, state, logger, key, timer,
 
     while runner.t_env <= args.t_max:
         n_blocks = _n_blocks_to_boundary()
-        with timer.phase("block"):
-            ps, stats = pipeline.run_blocks(
-                ps, n_blocks, train=blocks_done >= warm
-            )
-            stats = jax.device_get(stats)  # leaves: (n_blocks, ...)
+        t_disp = time.perf_counter()
+        ps, stats = pipeline.run_blocks(
+            ps, n_blocks, train=blocks_done >= warm
+        )
+        stats = jax.device_get(stats)  # leaves: (n_blocks, ...)
+        # per-BLOCK time (a dispatch covers n_blocks of them)
+        timer.note("block", (time.perf_counter() - t_disp) / n_blocks)
         blocks_done += n_blocks
 
         for bi in range(n_blocks):

@@ -36,6 +36,16 @@ class PhaseTimer:
             else:
                 self.avg[name] = dt
 
+    def note(self, name: str, dt: float) -> None:
+        """Record an externally measured duration (e.g. a multi-block
+        dispatch normalized to per-block time)."""
+        self.last[name] = dt
+        self.count[name] += 1
+        if name in self.avg:
+            self.avg[name] = self.ema * self.avg[name] + (1 - self.ema) * dt
+        else:
+            self.avg[name] = dt
+
     def stats(self) -> Dict[str, float]:
         return {f"time_{k}_ms": v * 1000.0 for k, v in self.avg.items()}
 

@@ -53,8 +53,10 @@ def cli_throughput(kind: str, B: int, t_max: int):
             argv = ["--config=refil_group_matching",
                     "--env-config=group_matching", "with"]
         else:
+            # bench_combat measures bf16 (the kernels' operating point);
+            # compare the CLI at the same dtype
             argv = ["--config=refil", "--env-config=sc2custom", "with",
-                    "scenario=3-8sz_symmetric"]
+                    "scenario=3-8sz_symmetric", "compute_dtype=bfloat16"]
         argv += [
             f"batch_size_run={B}",
             f"buffer_size={max(5000 if kind != 'gm' else 2000, 2 * B)}",
@@ -78,6 +80,20 @@ def cli_throughput(kind: str, B: int, t_max: int):
     # dispatch programs' first loads; inside it the loop replays one already
     # -loaded program. The caller must still have warmed the persistent
     # cache (a cold first invocation measures XLA compiles, not training).
+    if os.environ.get("CLI_VS_BENCH_DEBUG"):
+        # per-dispatch wallclock gaps (marks inside one dispatch share a
+        # timestamp): where does the time actually go?
+        uniq = []
+        for w, t in marks:
+            if not uniq or w - uniq[-1][0] > 1e-4:
+                uniq.append((w, t))
+        gaps = [
+            (round(b[0] - a[0], 3), a[1], b[1])
+            for a, b in zip(uniq, uniq[1:])
+        ]
+        gaps.sort(reverse=True)
+        print(f"  [debug] {len(uniq)} dispatches; largest gaps "
+              f"(sec, t_env from->to): {gaps[:6]}", file=sys.stderr, flush=True)
     lo = next(m for m in marks if m[1] >= 0.25 * t_max)
     hi = next(m for m in reversed(marks) if m[1] <= 0.75 * t_max)
     (w0, t0), (w1, t1) = lo, hi

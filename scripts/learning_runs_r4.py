@@ -9,7 +9,7 @@ batch_size_run 8, t_max 10M; sc2custom.yaml: test 160 episodes / 50k steps):
   2. qmix_atten @ 3-8sz_symmetric, seed 0, full 10M protocol
   3. refil      @ 3-8csz_symmetric, 2M protocol (r3b cadence) — the pair
   4. qmix_atten @ 3-8csz_symmetric, 2M protocol   for the csz ordering claim
-  5. refil      @ 3-8sz_symmetric, seed 1, full 10M protocol (seed evidence)
+  5. refil      @ 3-8sz_symmetric, seed 1, 2M protocol (seed evidence)
   6. refil      @ 3-8MMM_symmetric, 2M protocol (Medivac path on the
                   round-4 env: difficulty-7 focus-fire enemy + range slack)
 
@@ -51,9 +51,9 @@ RUNS = [
     ("qmix_atten_csz_2m", ["--config=qmix_atten", "--env-config=sc2custom",
                            "with", "scenario=3-8csz_symmetric",
                            "name=qmix_atten_3-8csz_2m", "seed=0", *COMBAT_2M]),
-    ("refil_sz_10m_s1", ["--config=refil", "--env-config=sc2custom", "with",
-                         "scenario=3-8sz_symmetric", "name=refil_3-8sz_10m_s1",
-                         "seed=1"]),
+    ("refil_sz_2m_s1", ["--config=refil", "--env-config=sc2custom", "with",
+                        "scenario=3-8sz_symmetric", "name=refil_3-8sz_2m_s1",
+                        "seed=1", *COMBAT_2M]),
     ("refil_mmm_2m", ["--config=refil", "--env-config=sc2custom", "with",
                       "scenario=3-8MMM_symmetric", "name=refil_3-8MMM_2m",
                       "seed=0", *COMBAT_2M]),
