@@ -180,13 +180,14 @@ class FusedPipeline:
                 batch,
             )
 
+        # ring insert. The common case is ONE contiguous dynamic-update-slice
+        # — the pattern XLA is guaranteed to perform in-place on the donated/
+        # scan-carried ring. A gather-scatter here makes XLA copy the whole
+        # multi-GB ring every block inside ``run_blocks``'s scan (measured
+        # -15% at the combat B=512 point, -80% at B=8).
+        start = pstate.buffer_index
         if self.buffer_size % B == 0:
-            # the insert window never wraps (start is always a multiple of
-            # B), so it is ONE contiguous dynamic-update-slice — the pattern
-            # XLA is guaranteed to perform in-place on the donated/scan-
-            # carried ring. A gather-scatter here can make XLA copy the
-            # whole multi-GB ring every block inside ``run_blocks``'s scan.
-            start = pstate.buffer_index
+            # start is always a multiple of B: never wraps
             buffer = jax.tree.map(
                 lambda buf, b: jax.lax.dynamic_update_slice_in_dim(
                     buf, b.astype(buf.dtype), start, axis=0
@@ -195,12 +196,22 @@ class FusedPipeline:
                 batch,
             )
         else:
+            # wraps once every ~S/gcd cycle: contiguous DUS on non-wrapping
+            # blocks, scatter only for the rare wrapped insert
             positions = (
-                pstate.buffer_index + jnp.arange(B, dtype=jnp.int32)
+                start + jnp.arange(B, dtype=jnp.int32)
             ) % self.buffer_size
-            buffer = jax.tree.map(
-                lambda buf, b: buf.at[positions].set(b), pstate.buffer, batch
-            )
+
+            def _insert(buf, b):
+                return jax.lax.cond(
+                    start + B <= self.buffer_size,
+                    lambda: jax.lax.dynamic_update_slice_in_dim(
+                        buf, b.astype(buf.dtype), start, axis=0
+                    ),
+                    lambda: buf.at[positions].set(b.astype(buf.dtype)),
+                )
+
+            buffer = jax.tree.map(_insert, pstate.buffer, batch)
         buffer_index = (pstate.buffer_index + B) % self.buffer_size
         episodes_in_buffer = jnp.minimum(
             pstate.episodes_in_buffer + B, self.buffer_size

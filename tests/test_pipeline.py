@@ -235,3 +235,32 @@ def test_bfloat16_compute_dtype_end_to_end():
     # same seed/trajectory structure: bf16 must track f32 loosely
     for a, b in zip(l_bf16, l_f32):
         assert abs(a - b) <= 0.25 * max(abs(b), 0.05), (l_bf16, l_f32)
+
+
+def test_wrapped_ring_insert_contents():
+    """S % B != 0: the insert that wraps the ring end must land each row at
+    (start + j) % S with the same data the rollout produced (the cond-DUS
+    fast path only covers non-wrapping inserts; the wrap falls back to the
+    scatter)."""
+    pipe, runner, learner, state, args = _setup(
+        batch_size_run=4, batch_size=4, buffer_size=10
+    )
+    ps = pipe.init_state(state, jax.random.PRNGKey(11))
+    # advance to the wrapping insert: starts cycle 0,4,8 -> the third block
+    # writes slots 8,9,0,1
+    for _ in range(2):
+        ps, _ = pipe.block(ps, train=False)
+    assert int(ps.buffer_index) == 8
+    key_pre = jnp.asarray(ps.key)
+    k_roll = jax.random.split(key_pre, 5)[1]
+    eps = jnp.float32(runner.schedule.eval_host(int(ps.t_env)))
+    batch, _ = runner._rollout(
+        ps.train.params["agent"], k_roll, eps, jnp.int32(-1),
+        batch_size=4, test=False,
+    )
+    batch = jax.device_get(batch)
+    ps, _ = pipe.block(ps, train=False)
+    assert int(ps.buffer_index) == 2
+    for k in batch:
+        got = np.asarray(ps.buffer[k])[[8, 9, 0, 1]]
+        np.testing.assert_array_equal(got, np.asarray(batch[k]), err_msg=k)
