@@ -462,7 +462,8 @@ def main():
     # default env batch 4096: same algorithm/config, TPU-native env batching
     # at the chip's best operating point (results/perf_matrix_r2.txt: ~4x the
     # B=512 throughput; 8 reproduces the reference's env count)
-    batch_size_run = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch_size_run = int(positional[0]) if positional else 4096
     # the proxy runs FIRST: once JAX's (tunneled TPU) runtime is up, its
     # threads contend with torch on the host CPU and skew the baseline low
     if "--no-proxy" in sys.argv:

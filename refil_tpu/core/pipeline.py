@@ -61,8 +61,26 @@ class FusedPipeline:
         self.learner = learner
         self.args = args
         self.mesh = mesh  # Optional[parallel.mesh.MeshContext]
-        self.buffer_size = int(buffer_size)
         self.batch_size_run = int(args.batch_size_run)
+        # ring capacity rounds UP to the next insert-batch multiple so the
+        # per-block insert is always ONE contiguous dynamic-update-slice,
+        # which XLA keeps in-place on the scan-carried ring. The scatter a
+        # non-aligned ring needs copies the whole ring every block (measured
+        # -15% end-to-end at the combat B=512 point, -80% at B=8) and
+        # aliasing does not survive a lax.cond fallback either. Capacity can
+        # exceed the configured size by at most batch_size_run - 1 episodes
+        # (every shipped config is already aligned: 5000 % 8 == 2000 % 8 == 0).
+        self.buffer_size = -(-int(buffer_size) // self.batch_size_run) * (
+            self.batch_size_run
+        )
+        if self.buffer_size != int(buffer_size):
+            import logging
+
+            logging.getLogger("refil_tpu").info(
+                "replay ring rounded %d -> %d episodes (multiple of "
+                "batch_size_run=%d keeps the insert in-place)",
+                int(buffer_size), self.buffer_size, self.batch_size_run,
+            )
         self.batch_size = int(args.batch_size)
         self.training_iters = int(args.training_iters)
         self.target_update_interval = int(args.target_update_interval)
@@ -180,38 +198,17 @@ class FusedPipeline:
                 batch,
             )
 
-        # ring insert. The common case is ONE contiguous dynamic-update-slice
-        # — the pattern XLA is guaranteed to perform in-place on the donated/
-        # scan-carried ring. A gather-scatter here makes XLA copy the whole
-        # multi-GB ring every block inside ``run_blocks``'s scan (measured
-        # -15% at the combat B=512 point, -80% at B=8).
+        # ring insert: the capacity is batch-aligned (see __init__), so the
+        # insert never wraps and is ONE contiguous dynamic-update-slice —
+        # the pattern XLA keeps in-place on the donated/scan-carried ring
         start = pstate.buffer_index
-        if self.buffer_size % B == 0:
-            # start is always a multiple of B: never wraps
-            buffer = jax.tree.map(
-                lambda buf, b: jax.lax.dynamic_update_slice_in_dim(
-                    buf, b.astype(buf.dtype), start, axis=0
-                ),
-                pstate.buffer,
-                batch,
-            )
-        else:
-            # wraps once every ~S/gcd cycle: contiguous DUS on non-wrapping
-            # blocks, scatter only for the rare wrapped insert
-            positions = (
-                start + jnp.arange(B, dtype=jnp.int32)
-            ) % self.buffer_size
-
-            def _insert(buf, b):
-                return jax.lax.cond(
-                    start + B <= self.buffer_size,
-                    lambda: jax.lax.dynamic_update_slice_in_dim(
-                        buf, b.astype(buf.dtype), start, axis=0
-                    ),
-                    lambda: buf.at[positions].set(b.astype(buf.dtype)),
-                )
-
-            buffer = jax.tree.map(_insert, pstate.buffer, batch)
+        buffer = jax.tree.map(
+            lambda buf, b: jax.lax.dynamic_update_slice_in_dim(
+                buf, b.astype(buf.dtype), start, axis=0
+            ),
+            pstate.buffer,
+            batch,
+        )
         buffer_index = (pstate.buffer_index + B) % self.buffer_size
         episodes_in_buffer = jnp.minimum(
             pstate.episodes_in_buffer + B, self.buffer_size

@@ -274,9 +274,20 @@ def _vjp_bwd(res, g):
 pallas_gru.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# the kernel keeps one (R, 3H) xw block + the (R, H) f32 carry + weights in
+# VMEM; past this row count the block exceeds the ~16MB VMEM budget and
+# Mosaic refuses to compile (hit at B=4096 rollouts: R = 32768)
+_MAX_KERNEL_ROWS = 8192
+
+
 def gru_sequence(xw, wh, bhn, h0):
-    """Impl-dispatching entry: the fused kernel when configured, else the
-    lax.scan reference."""
-    if _GRU_IMPL == "pallas":
+    """Impl-dispatching entry: the fused kernel when configured AND the
+    shape profits from it — a T=1 call (the rollout step path) has no
+    recurrence to fuse, and very wide row counts exceed VMEM."""
+    if (
+        _GRU_IMPL == "pallas"
+        and xw.shape[0] > 1
+        and xw.shape[1] <= _MAX_KERNEL_ROWS
+    ):
         return pallas_gru(xw, wh, bhn, h0)
     return gru_sequence_xla(xw, wh, bhn, h0)

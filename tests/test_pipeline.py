@@ -237,17 +237,19 @@ def test_bfloat16_compute_dtype_end_to_end():
         assert abs(a - b) <= 0.25 * max(abs(b), 0.05), (l_bf16, l_f32)
 
 
-def test_wrapped_ring_insert_contents():
-    """S % B != 0: the insert that wraps the ring end must land each row at
-    (start + j) % S with the same data the rollout produced (the cond-DUS
-    fast path only covers non-wrapping inserts; the wrap falls back to the
-    scatter)."""
+def test_unaligned_ring_rounds_up_and_inserts_in_place():
+    """A buffer_size that does not divide by batch_size_run rounds UP to the
+    next multiple (so the insert is always one contiguous, in-place
+    dynamic-update-slice); contents land at the aligned slots, including the
+    cycle that crosses the configured (pre-rounding) size."""
     pipe, runner, learner, state, args = _setup(
         batch_size_run=4, batch_size=4, buffer_size=10
     )
+    assert pipe.buffer_size == 12  # 10 rounded to a multiple of 4
     ps = pipe.init_state(state, jax.random.PRNGKey(11))
-    # advance to the wrapping insert: starts cycle 0,4,8 -> the third block
-    # writes slots 8,9,0,1
+    assert ps.buffer["entities"].shape[0] == 12
+    # starts cycle 0,4,8: the third block writes slots 8..11 (past the
+    # configured 10), then the index wraps to 0
     for _ in range(2):
         ps, _ = pipe.block(ps, train=False)
     assert int(ps.buffer_index) == 8
@@ -260,7 +262,8 @@ def test_wrapped_ring_insert_contents():
     )
     batch = jax.device_get(batch)
     ps, _ = pipe.block(ps, train=False)
-    assert int(ps.buffer_index) == 2
+    assert int(ps.buffer_index) == 0
+    assert int(ps.episodes_in_buffer) == 12
     for k in batch:
-        got = np.asarray(ps.buffer[k])[[8, 9, 0, 1]]
+        got = np.asarray(ps.buffer[k])[8:12]
         np.testing.assert_array_equal(got, np.asarray(batch[k]), err_msg=k)
