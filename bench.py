@@ -77,14 +77,17 @@ def bench_ours(n_blocks: int = 30, batch_size_run: int = 8,
         ps, _ = pipe.block(ps, train=False)
     # compile + warm the scanned program
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
-    ps = jax.block_until_ready(ps)
 
-    t_env0 = int(ps.t_env)
+    # Timing rule (CLAUDE.md): on the axon tunnel block_until_ready can
+    # return BEFORE device execution finishes, so the measurement window
+    # must END at a value read — int(ps.t_env) forces the device result
+    # onto the host, and only then does the clock stop.
+    t_env0 = int(ps.t_env)  # also forces completion of the warm run
     t0 = time.perf_counter()
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
-    ps = jax.block_until_ready(ps)
+    t_env1 = int(ps.t_env)  # value read INSIDE the window
     dt = time.perf_counter() - t0
-    steps_per_s = (int(ps.t_env) - t_env0) / dt
+    steps_per_s = (t_env1 - t_env0) / dt
     if not ret_stats:
         return steps_per_s
     flops = _gm_flops_per_block(args, runner.env.env_info(), n_blocks) / dt
@@ -132,7 +135,10 @@ def bench_ours_classic(n_blocks: int = 30, batch_size_run: int = 8) -> float:
     for _ in range(n_blocks):
         state, key = block(state, key, episode)
         episode += batch_size_run
-    jax.block_until_ready(state.params)
+    # value-force the last train step (block_until_ready can return early on
+    # the axon tunnel, CLAUDE.md): reading a param leaf's bytes requires the
+    # final donated learner step to have actually executed
+    np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     dt = time.perf_counter() - t0
     return (runner.t_env - t_env0) / dt
 
@@ -334,14 +340,15 @@ def bench_combat(n_blocks: int = 10, batch_size_run: int = 512,
     program_flops = _combat_flops_per_block(args, info, n_blocks)
 
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)  # warm/compile cache
-    ps = jax.block_until_ready(ps)
+    # value-forced timing window (see bench_ours): the t_env reads are the
+    # synchronization points; the clock stops only after the read
     t_env0 = int(ps.t_env)
     t0 = time.perf_counter()
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
-    ps = jax.block_until_ready(ps)
+    t_env1 = int(ps.t_env)
     dt = time.perf_counter() - t0
 
-    steps_per_s = (int(ps.t_env) - t_env0) / dt
+    steps_per_s = (t_env1 - t_env0) / dt
     flops_per_s = program_flops / dt if program_flops else None
     mfu = flops_per_s / _peak_flops() if flops_per_s else None
     return {

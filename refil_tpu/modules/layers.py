@@ -192,11 +192,14 @@ class GRUSequence(nn.Module):
         bi = jnp.concatenate([b_ir, b_iz, b_in], axis=-1)
         wh = jnp.concatenate([k_hr, k_hz, k_hn], axis=-1)  # (H, 3H)
 
-        # TorchLinear convention: weights cast to the activation dtype (bf16
-        # configs keep the MXU in bf16); the recurrence carry stays f32
+        # The hoisted input projection — the big MXU matmul — runs in the
+        # activation dtype (TorchLinear convention; bf16 configs keep it on
+        # the bf16 MXU). The RECURRENT matmul stays f32 (wh not cast): the
+        # pre-r4 nn.RNN(GRUCell) promoted it to f32, and a bf16 recurrence
+        # over 151-step BPTT is a silent numerics change (ADVICE r4).
         xw = xs @ wi.astype(xs.dtype) + bi.astype(xs.dtype)  # (R, T, 3H)
         hs = gru_sequence(
-            jnp.swapaxes(xw, 0, 1), wh.astype(xs.dtype),
+            jnp.swapaxes(xw, 0, 1), wh.astype(jnp.float32),
             b_hn.astype(jnp.float32), h0,
         )  # (T, R, H)
         hs = jnp.swapaxes(hs, 0, 1)

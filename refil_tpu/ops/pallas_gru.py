@@ -12,11 +12,21 @@ This kernel runs the WHOLE sequence in one ``pallas_call``:
   * the input-side projection ``xw = x @ W_i + b_i`` is hoisted OUT of the
     recurrence and computed as one large MXU matmul in XLA (the scan body
     cannot hoist it — ``x_t`` is a scan operand there);
-  * the recurrence itself is a sequential grid over T. The hidden state
-    lives in a VMEM scratch (f32 carry) that persists across grid steps; the
-    recurrent weights stay resident in VMEM; per-step HBM traffic is exactly
-    one ``xw_t`` block in and one ``h_t`` block out, double-buffered by the
-    Pallas pipeline.
+  * the recurrence itself is a sequential grid over ``(row_tiles, T)`` with
+    rows as the OUTER (slow) dimension: each row tile runs its full T-step
+    recurrence before the next tile starts, so the hidden state lives in one
+    per-tile VMEM scratch (f32 carry) that persists across the T inner grid
+    steps; the recurrent weights stay resident in VMEM; per-step HBM traffic
+    is exactly one ``xw_t`` row-tile block in and one ``h_t`` block out,
+    double-buffered by the Pallas pipeline. Row tiling bounds the per-step
+    VMEM footprint for ANY row count (r4 capped the kernel at 8192 rows
+    because the untiled (1, R, 3H) block busts VMEM at R = 32768).
+
+The recurrent matmuls run in f32 (weights are NOT cast to the bf16
+activation dtype): the pre-r4 ``nn.RNN(GRUCell)`` stack promoted the gate
+matmuls to f32, and over 151-step BPTT a bf16 recurrence is a silent
+numerics change (ADVICE r4). Only the hoisted input projection — the big
+MXU matmul — runs in the activation dtype.
 
 Backward is a second kernel over the REVERSED grid: it recomputes the cheap
 gate elementwise math from the saved ``(xw, hs)`` residuals (no extra
@@ -85,7 +95,10 @@ def gru_sequence_xla(xw, wh, bhn, h0):
     H = h0.shape[-1]
 
     def step(h, xw_t):
-        gh = h @ wh  # promotes to f32 like flax's Dense on f32 params
+        # h is the f32 carry; wh arrives f32 (layers.py does not cast it to
+        # the activation dtype) so the recurrent matmul runs in f32, matching
+        # the pre-r4 nn.RNN(GRUCell) promotion semantics
+        gh = h @ wh.astype(jnp.float32)
         r = jax.nn.sigmoid(xw_t[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(xw_t[:, H : 2 * H] + gh[:, H : 2 * H])
         n = jnp.tanh(xw_t[:, 2 * H :] + r * (gh[:, 2 * H :] + bhn))
@@ -98,10 +111,10 @@ def gru_sequence_xla(xw, wh, bhn, h0):
 
 # ----------------------------------------------------------------------
 def _fwd_kernel(xw_ref, wh_ref, bhn_ref, h0_ref, hs_ref, h_scr):
+    # grid = (row_tiles, T): program_id(0) = row tile (outer), (1) = t (inner)
     H = h_scr.shape[-1]
-    cdt = xw_ref.dtype
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         h_scr[:] = h0_ref[:].astype(jnp.float32)
 
@@ -109,11 +122,12 @@ def _fwd_kernel(xw_ref, wh_ref, bhn_ref, h0_ref, hs_ref, h_scr):
         jax.lax.dot_general, preferred_element_type=jnp.float32
     )
     h = h_scr[:]
-    gh = dot(h.astype(cdt), wh_ref[:], (((1,), (0,)), ((), ())))  # (R, 3H) f32
+    # recurrent matmul in f32 (wh arrives f32; h is the f32 carry)
+    gh = dot(h, wh_ref[:], (((1,), (0,)), ((), ())))  # (Rt, 3H) f32
     xw = xw_ref[0].astype(jnp.float32)
     r = jax.nn.sigmoid(xw[:, :H] + gh[:, :H])
     z = jax.nn.sigmoid(xw[:, H : 2 * H] + gh[:, H : 2 * H])
-    n = jnp.tanh(xw[:, 2 * H :] + r * (gh[:, 2 * H :] + bhn_ref[0].astype(jnp.float32)))
+    n = jnp.tanh(xw[:, 2 * H :] + r * (gh[:, 2 * H :] + bhn_ref[0]))
     h_new = (1.0 - z) * n + z * h
     h_scr[:] = h_new
     hs_ref[0] = h_new.astype(hs_ref.dtype)
@@ -121,15 +135,23 @@ def _fwd_kernel(xw_ref, wh_ref, bhn_ref, h0_ref, hs_ref, h_scr):
 
 def _bwd_kernel(xw_ref, g_ref, hprev_ref, h0_ref, wh_ref, bhn_ref,
                 dxw_ref, dwh_ref, dbhn_ref, dh0_ref, dh_scr, *, T: int):
+    # grid = (row_tiles, T): program_id(0) = row tile (outer),
+    # program_id(1) = i with t = T - 1 - i (inner, reversed time)
     H = dh_scr.shape[-1]
-    cdt = xw_ref.dtype
-    i = pl.program_id(0)  # t = T - 1 - i
+    rt = pl.program_id(0)
+    i = pl.program_id(1)
 
-    @pl.when(i == 0)
-    def _init():
-        dh_scr[:] = jnp.zeros_like(dh_scr)
+    @pl.when((i == 0) & (rt == 0))
+    def _init_acc():
+        # the weight-grad blocks have a constant index map, so they stay
+        # resident in VMEM and accumulate across the WHOLE (row_tiles, T)
+        # grid; zero them once at the very first grid step
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
         dbhn_ref[:] = jnp.zeros_like(dbhn_ref)
+
+    @pl.when(i == 0)
+    def _init_carry():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
 
     # h_{t-1}: the saved hs block at t-1, except at t=0 where it is h0
     h_prev = jnp.where(i == T - 1, h0_ref[:].astype(jnp.float32),
@@ -138,10 +160,10 @@ def _bwd_kernel(xw_ref, g_ref, hprev_ref, h0_ref, wh_ref, bhn_ref,
     dot = functools.partial(
         jax.lax.dot_general, preferred_element_type=jnp.float32
     )
-    # recompute the gates (cheap: one matmul + elementwise)
-    gh = dot(h_prev.astype(cdt), wh_ref[:], (((1,), (0,)), ((), ())))
+    # recompute the gates (cheap: one f32 matmul + elementwise)
+    gh = dot(h_prev, wh_ref[:], (((1,), (0,)), ((), ())))
     xw = xw_ref[0].astype(jnp.float32)
-    bhn = bhn_ref[0].astype(jnp.float32)
+    bhn = bhn_ref[0]
     r = jax.nn.sigmoid(xw[:, :H] + gh[:, :H])
     z = jax.nn.sigmoid(xw[:, H : 2 * H] + gh[:, H : 2 * H])
     ghn_b = gh[:, 2 * H :] + bhn
@@ -156,15 +178,15 @@ def _bwd_kernel(xw_ref, g_ref, hprev_ref, h0_ref, wh_ref, bhn_ref,
     dpre_r = dr * r * (1.0 - r)
     dpre_z = dz * z * (1.0 - z)
 
-    dxw = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)  # (R, 3H) f32
+    dxw = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)  # (Rt, 3H) f32
     dxw_ref[0] = dxw.astype(dxw_ref.dtype)
-    dgh = jnp.concatenate([dpre_r, dpre_z, da_hn], axis=-1).astype(cdt)
+    dgh = jnp.concatenate([dpre_r, dpre_z, da_hn], axis=-1)  # f32
     # dh_{t-1} = dh * z + dgh @ W_h^T
     dh_prev = dh * z + dot(dgh, wh_ref[:], (((1,), (1,)), ((), ())))
     dh_scr[:] = dh_prev
     # weight grads accumulate across the sequential grid (race-free on TPU)
     dwh_ref[:] += dot(
-        h_prev.astype(cdt), dgh, (((0,), (0,)), ((), ()))
+        h_prev, dgh, (((0,), (0,)), ((), ()))
     )  # h_prev^T @ dgh
     dbhn_ref[:] += da_hn.sum(0, keepdims=True)
 
@@ -173,49 +195,70 @@ def _bwd_kernel(xw_ref, g_ref, hprev_ref, h0_ref, wh_ref, bhn_ref,
         dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
 
 
-def _pad_rows(x, mult=8):
+# Row-tile sizes. Chosen so the per-grid-step VMEM working set (double-
+# buffered streamed blocks + the f32 carry scratch + resident weights) stays
+# well under the ~16MB budget for BOTH f32 and bf16 activations; the backward
+# streams ~3x the forward's bytes per step (xw + g + hprev in, f32 dxw out),
+# hence the smaller tile (ADVICE r4: one shared cap let a forward-safe width
+# bust VMEM in the f32 backward). At H=64 f32: fwd ~2.6KB/row -> 2048 rows
+# ~5.3MB; bwd ~4.9KB/row -> 1024 rows ~5MB.
+_ROW_TILE_FWD = 2048
+_ROW_TILE_BWD = 1024
+
+
+def _tile_rows(R, tile):
+    """Padded row count and tile size: a single padded-to-8 tile when R fits
+    in one tile, else pad R up to a multiple of ``tile`` (<= tile-1 waste;
+    padded rows carry zero xw/g and provably contribute zero to every
+    gradient accumulation — dh stays identically 0 there)."""
+    if R <= tile:
+        Rp = R + (-R) % 8
+        return Rp, Rp
+    return R + (-R) % tile, tile
+
+
+def _pad_rows(x, Rp):
     R = x.shape[1] if x.ndim == 3 else x.shape[0]
-    pad = (-R) % mult
-    if pad == 0:
-        return x, R
+    if R == Rp:
+        return x
     width = [(0, 0)] * x.ndim
-    width[1 if x.ndim == 3 else 0] = (0, pad)
-    return jnp.pad(x, width), R
+    width[1 if x.ndim == 3 else 0] = (0, Rp - R)
+    return jnp.pad(x, width)
 
 
 def _pallas_fwd(xw, wh, bhn, h0):
     T, R, H3 = xw.shape
     H = h0.shape[-1]
     cdt = xw.dtype
-    xw_p, R0 = _pad_rows(xw)
-    h0_p, _ = _pad_rows(h0)
-    Rp = xw_p.shape[1]
+    Rp, Rt = _tile_rows(R, _ROW_TILE_FWD)
+    xw_p = _pad_rows(xw, Rp)
+    h0_p = _pad_rows(h0, Rp)
     hs = pl.pallas_call(
         _fwd_kernel,
         out_shape=jax.ShapeDtypeStruct((T, Rp, H), cdt),
-        grid=(T,),
+        grid=(Rp // Rt, T),  # rows OUTER, time inner (carry per row tile)
         in_specs=[
-            pl.BlockSpec((1, Rp, H3), lambda t: (t, 0, 0)),
-            pl.BlockSpec((H, H3), lambda t: (0, 0)),
-            pl.BlockSpec((1, H), lambda t: (0, 0)),
-            pl.BlockSpec((Rp, H), lambda t: (0, 0)),
+            pl.BlockSpec((1, Rt, H3), lambda r, t: (t, r, 0)),
+            pl.BlockSpec((H, H3), lambda r, t: (0, 0)),
+            pl.BlockSpec((1, H), lambda r, t: (0, 0)),
+            pl.BlockSpec((Rt, H), lambda r, t: (r, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Rp, H), lambda t: (t, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((Rp, H), jnp.float32)],
+        out_specs=pl.BlockSpec((1, Rt, H), lambda r, t: (t, r, 0)),
+        scratch_shapes=[pltpu.VMEM((Rt, H), jnp.float32)],
         interpret=_INTERPRET,
-    )(xw_p, wh.astype(cdt), bhn.reshape(1, H).astype(cdt), h0_p)
-    return hs[:, :R0]
+    )(xw_p, wh.astype(jnp.float32), bhn.reshape(1, H).astype(jnp.float32),
+      h0_p)
+    return hs[:, :R]
 
 
 def _pallas_bwd(xw, hs, h0, wh, bhn, g):
     T, R, H3 = xw.shape
     H = h0.shape[-1]
-    cdt = xw.dtype
-    xw_p, R0 = _pad_rows(xw)
-    hs_p, _ = _pad_rows(hs)
-    g_p, _ = _pad_rows(g)
-    h0_p, _ = _pad_rows(h0)
-    Rp = xw_p.shape[1]
+    Rp, Rt = _tile_rows(R, _ROW_TILE_BWD)
+    xw_p = _pad_rows(xw, Rp)
+    hs_p = _pad_rows(hs, Rp)
+    g_p = _pad_rows(g, Rp)
+    h0_p = _pad_rows(h0, Rp)
     dxw, dwh, dbhn, dh0 = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T),
         out_shape=(
@@ -224,28 +267,29 @@ def _pallas_bwd(xw, hs, h0, wh, bhn, g):
             jax.ShapeDtypeStruct((1, H), jnp.float32),
             jax.ShapeDtypeStruct((Rp, H), jnp.float32),
         ),
-        grid=(T,),
+        grid=(Rp // Rt, T),  # rows OUTER, reversed time inner
         in_specs=[
-            pl.BlockSpec((1, Rp, H3), lambda i: (T - 1 - i, 0, 0)),
-            pl.BlockSpec((1, Rp, H), lambda i: (T - 1 - i, 0, 0)),
+            pl.BlockSpec((1, Rt, H3), lambda r, i: (T - 1 - i, r, 0)),
+            pl.BlockSpec((1, Rt, H), lambda r, i: (T - 1 - i, r, 0)),
             # h_{t-1} block; clamped at t=0 (the kernel substitutes h0 there)
             pl.BlockSpec(
-                (1, Rp, H), lambda i: (jnp.maximum(T - 2 - i, 0), 0, 0)
+                (1, Rt, H), lambda r, i: (jnp.maximum(T - 2 - i, 0), r, 0)
             ),
-            pl.BlockSpec((Rp, H), lambda i: (0, 0)),
-            pl.BlockSpec((H, H3), lambda i: (0, 0)),
-            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((Rt, H), lambda r, i: (r, 0)),
+            pl.BlockSpec((H, H3), lambda r, i: (0, 0)),
+            pl.BlockSpec((1, H), lambda r, i: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, Rp, H3), lambda i: (T - 1 - i, 0, 0)),
-            pl.BlockSpec((H, H3), lambda i: (0, 0)),
-            pl.BlockSpec((1, H), lambda i: (0, 0)),
-            pl.BlockSpec((Rp, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, Rt, H3), lambda r, i: (T - 1 - i, r, 0)),
+            pl.BlockSpec((H, H3), lambda r, i: (0, 0)),
+            pl.BlockSpec((1, H), lambda r, i: (0, 0)),
+            pl.BlockSpec((Rt, H), lambda r, i: (r, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((Rp, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Rt, H), jnp.float32)],
         interpret=_INTERPRET,
-    )(xw_p, g_p, hs_p, h0_p, wh.astype(cdt), bhn.reshape(1, H).astype(cdt))
-    return dxw[:, :R0], dwh, dbhn.reshape(H), dh0[:R0]
+    )(xw_p, g_p, hs_p, h0_p, wh.astype(jnp.float32),
+      bhn.reshape(1, H).astype(jnp.float32))
+    return dxw[:, :R], dwh, dbhn.reshape(H), dh0[:R]
 
 
 @jax.custom_vjp
@@ -274,20 +318,11 @@ def _vjp_bwd(res, g):
 pallas_gru.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-# the kernel keeps one (R, 3H) xw block + the (R, H) f32 carry + weights in
-# VMEM; past this row count the block exceeds the ~16MB VMEM budget and
-# Mosaic refuses to compile (hit at B=4096 rollouts: R = 32768)
-_MAX_KERNEL_ROWS = 8192
-
-
 def gru_sequence(xw, wh, bhn, h0):
     """Impl-dispatching entry: the fused kernel when configured AND the
     shape profits from it — a T=1 call (the rollout step path) has no
-    recurrence to fuse, and very wide row counts exceed VMEM."""
-    if (
-        _GRU_IMPL == "pallas"
-        and xw.shape[0] > 1
-        and xw.shape[1] <= _MAX_KERNEL_ROWS
-    ):
+    recurrence to fuse. Row tiling bounds VMEM at any width, so there is no
+    row cap (r4's _MAX_KERNEL_ROWS=8192 gate is gone)."""
+    if _GRU_IMPL == "pallas" and xw.shape[0] > 1:
         return pallas_gru(xw, wh, bhn, h0)
     return gru_sequence_xla(xw, wh, bhn, h0)

@@ -59,13 +59,14 @@ def run_one(B, dtype, impl, n_blocks=30, combat=False):
     for _ in range(pipe.warmup_blocks()):
         ps, _ = pipe.block(ps, train=False)
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
-    ps = jax.block_until_ready(ps)
+    # value-forced timing window (CLAUDE.md axon rule): the int(ps.t_env)
+    # reads are the sync points; the clock stops only after the read
     t0 = int(ps.t_env)
     t = time.perf_counter()
     ps, _ = pipe.run_blocks(ps, n_blocks, train=True)
-    ps = jax.block_until_ready(ps)
+    t1 = int(ps.t_env)
     dt = time.perf_counter() - t
-    sps = (int(ps.t_env) - t0) / dt
+    sps = (t1 - t0) / dt
     # analytic MFU vs the chip's bf16 MXU peak (models validated against XLA
     # cost analysis, scripts/validate_flops.py)
     from bench import (_combat_flops_per_block, _gm_flops_per_block,

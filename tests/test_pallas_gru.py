@@ -106,6 +106,34 @@ def test_pallas_gru_grads_match_xla(interpret_kernel):
                                    rtol=2e-5, atol=1e-5, err_msg=name)
 
 
+def test_pallas_gru_row_tiled_matches_xla(interpret_kernel, monkeypatch):
+    """R larger than the row tile exercises the (row_tiles, T) grid: per-tile
+    carry re-init, cross-tile weight-grad accumulation, and row padding to a
+    tile multiple (R=41 with fwd tile 16 / bwd tile 8 -> 3 fwd / 6 bwd tiles
+    plus padded rows). Forward AND full custom-VJP vs the lax.scan
+    reference."""
+    monkeypatch.setattr(pg, "_ROW_TILE_FWD", 16)
+    monkeypatch.setattr(pg, "_ROW_TILE_BWD", 8)
+    xw, wh, bhn, h0 = _raw(jax.random.PRNGKey(7), R=41)
+    hs_ref = pg.gru_sequence_xla(xw, wh, bhn, h0)
+    hs = pg.pallas_gru(xw, wh, bhn, h0)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    w = jax.random.normal(jax.random.PRNGKey(8), xw.shape[:2] + (8,))
+
+    def loss(fn, *args):
+        return jnp.sum(fn(*args) * w)
+
+    g_ref = jax.grad(lambda *a: loss(pg.gru_sequence_xla, *a),
+                     argnums=(0, 1, 2, 3))(xw, wh, bhn, h0)
+    g_pal = jax.grad(lambda *a: loss(pg.pallas_gru, *a),
+                     argnums=(0, 1, 2, 3))(xw, wh, bhn, h0)
+    for a, b, name in zip(g_pal, g_ref, ("dxw", "dwh", "dbhn", "dh0")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-5, err_msg=name)
+
+
 def test_gru_sequence_single_step(interpret_kernel):
     """T=1 (the rollout step path) works in both impls."""
     xw, wh, bhn, h0 = _raw(jax.random.PRNGKey(6), T=1)
