@@ -28,6 +28,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..base import register_env, warn_unused_env_args
 from . import units as U
@@ -117,7 +118,7 @@ class EntityBattle:
         # use "7"). The stand-in maps the SC2 levels onto four scripted
         # policies (see the enemy-AI block in step_state); measured
         # heuristic-ally win rates against each on a symmetric 2-Stalker
-        # 3-Zealot army (tests/test_difficulty.py): 0.94 / 0.49 / 0.05 / 0.03.
+        # 3-Zealot army (tests/test_difficulty.py): 0.94 / 0.48 / 0.05 / 0.02.
         #   "1"-"3"  tier 0: attack-move only — march on the ally spawn,
         #            firing at whatever is in range, never chase
         #   "4"-"6"  tier 1: nearest-engage — chase the nearest visible ally
@@ -133,6 +134,14 @@ class EntityBattle:
             "A": 3,
         }
         self.difficulty = str(difficulty)
+        if self.difficulty not in _DIFF_TIER:
+            import logging
+
+            logging.getLogger("refil_tpu").warning(
+                "EntityBattle: unknown difficulty %r (known: %s); defaulting "
+                "to tier 2 (SC2 '7'-'9', focus-fire)",
+                self.difficulty, sorted(_DIFF_TIER),
+            )
         self.enemy_tier = _DIFF_TIER.get(self.difficulty, 2)
         self.heuristic_rest = bool(heuristic_rest)
         self.sc = compile_scenarios(scenario_dict)
@@ -565,34 +574,40 @@ class EntityBattle:
             # pick to weapon range keeps movement honest: units still chase
             # whatever is closest (an enemy that paths across the ally army
             # toward the weakest target eats free damage and plays WORSE
-            # than tier 1). Unrolled over the <=8 enemy slots.
+            # than tier 1). A lax.fori_loop over enemy slots (NOT a Python
+            # unroll: at flat-env scale, e.g. 64 zerglings, an unroll emits
+            # 64 dependent scatter-adds and bloats the compile).
             a_hp_now = state.a_health + state.a_shield  # (B, Na)
             e_wr_t = self.weapon_range[state.e_type]  # (B, Ne)
             in_rng = d_ea <= e_wr_t[:, :, None]  # (B, Ne, Na)
             e_dmg_pot = self.damage[state.e_type] * e_alive  # (B, Ne)
-            alloc = jnp.zeros_like(a_hp_now)
             barange = jnp.arange(B)
-            picks = []
-            for i in range(Ne):
+
+            def pick_one(i, carry):
+                alloc, e_tgt = carry
                 eff = a_hp_now - alloc
                 rng_i = in_rng[:, i, :]
-                score = jnp.where(
-                    rng_i & (eff > 0), eff + 1e-3 * d_ea[:, i, :], jnp.inf
-                )
+                d_i = lax.dynamic_index_in_dim(d_ea, i, 1, keepdims=False)
+                score = jnp.where(rng_i & (eff > 0), eff + 1e-3 * d_i, jnp.inf)
                 # every in-range ally lethally covered: restack on lowest hp
-                fallback = jnp.where(
-                    rng_i, a_hp_now + 1e-3 * d_ea[:, i, :], jnp.inf
-                )
+                fallback = jnp.where(rng_i, a_hp_now + 1e-3 * d_i, jnp.inf)
                 none_left = ~jnp.isfinite(score).any(-1, keepdims=True)
                 tgt = jnp.argmin(jnp.where(none_left, fallback, score), axis=-1)
-                # nothing in weapon range at all: chase the nearest ally
-                tgt = jnp.where(rng_i.any(-1), tgt, nearest_a[:, i])
-                alloc = alloc.at[barange, tgt].add(e_dmg_pot[:, i])
-                picks.append(tgt)
-            e_target = jnp.stack(picks, axis=1)  # (B, Ne)
+                can_fire = rng_i.any(-1)
+                # nothing in weapon range at all: chase the nearest ally —
+                # but a chaser cannot shoot this step, so it must NOT reserve
+                # damage on its chase target (it would divert other enemies'
+                # fire off a nearly-dead ally)
+                tgt = jnp.where(can_fire, tgt, nearest_a[:, i])
+                alloc = alloc.at[barange, tgt].add(e_dmg_pot[:, i] * can_fire)
+                return alloc, e_tgt.at[:, i].set(tgt)
+
+            _, e_target = lax.fori_loop(
+                0, Ne, pick_one,
+                (jnp.zeros_like(a_hp_now), jnp.zeros((B, Ne), nearest_a.dtype)),
+            )
         else:
             e_target = nearest_a  # tiers 0/1 fight whatever is closest
-        e_target_dist = jnp.take_along_axis(d_ea, e_target[..., None], axis=2)[..., 0]
         e_sees = nearest_dist <= self.sight_range
         e_engage = e_alive & e_sees & (~self.is_medivac_t[state.e_type])
 
