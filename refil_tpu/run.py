@@ -209,9 +209,13 @@ def restore_pipeline_state(ps, payload, mesh=None):
         "key": jnp.asarray(payload["key"], jnp.asarray(ps.key).dtype),
     }
     if "buffer" in payload:
-        buffer = flax.serialization.from_state_dict(
-            jax.device_get(ps.buffer), payload["buffer"]
+        # the fresh ring is only a pytree/dtype TEMPLATE here; device_get on
+        # it would fail multi-host (its shards span non-addressable devices),
+        # so build the template from shapes/dtypes alone
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), ps.buffer
         )
+        buffer = flax.serialization.from_state_dict(template, payload["buffer"])
         buffer = jax.tree.map(
             lambda tmpl, b: jnp.asarray(b, tmpl.dtype), ps.buffer, buffer
         )

@@ -28,13 +28,7 @@ class PhaseTimer:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            self.last[name] = dt
-            self.count[name] += 1
-            if name in self.avg:
-                self.avg[name] = self.ema * self.avg[name] + (1 - self.ema) * dt
-            else:
-                self.avg[name] = dt
+            self.note(name, time.perf_counter() - t0)
 
     def note(self, name: str, dt: float) -> None:
         """Record an externally measured duration (e.g. a multi-block

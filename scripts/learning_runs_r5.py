@@ -1,28 +1,28 @@
-"""Round-5 learning runs (VERDICT r4 items 1, 2, 7), back-to-back in ONE
-process so the tunneled TPU is claimed once.
+"""Round-5 learning runs, back-to-back in ONE process so the tunneled TPU is
+claimed once.
 
-1. qmix_atten @ 3-8MMM_symmetric, 2M cadence — the comparison partner for
-   r4's `refil_mmm_2m` (same overrides, same env code), closing the last
-   unevidenced flagship ordering claim (VERDICT r4 missing #1; replaces the
-   empty results/r4_runs/qmix_atten_mmm_2m).
-2. refil      @ 3-8sz_symmetric, seed 1, UNTOUCHED protocol, t_max=4M —
-   second seed of the headline pair; 4M is past where every seed-0
-   threshold resolved (<=1.56M for refil).
-3. qmix_atten @ 3-8sz_symmetric, seed 1, UNTOUCHED protocol, t_max=6M —
-   seed-0 qmix hit >=0.9 at 3.53M, so 6M gives headroom for the slowest
-   threshold to resolve at seed 1.
-4/5. refil + qmix_atten @ 3-8csz_symmetric, seed 0, UNTOUCHED protocol
-   (eps 1->0.05 over 500k, 160-episode test blocks every 50k), t_max=4M —
-   the paper-cadence csz pair VERDICT r4 weak-list asked for (the r4 2M
-   points used 32-episode blocks and were noisy).
+Context: the round-4 run data under results/r4_runs/ was lost (results/ is
+gitignored and the r4 JSONLs were never force-added), so BOTH sides of every
+flagship pair re-run here on the current env code (difficulty-7 focus-fire
+enemy with the r5 chaser-reservation fix, range-slack fix). Queue in priority
+order — the script stops starting new runs past --deadline so the chip is
+free for the end-of-round bench:
 
-"Untouched" = config/algs/{refil,qmix_atten}.yaml + config/envs/sc2custom.yaml
-with ONLY t_max overridden (budget, not protocol: epsilon schedule, buffer,
-test cadence/size, optimizer all shipped values). All runs use the round-4
-env code (difficulty-7 focus-fire enemy, range-slack fix) so curves merge
-with results/r4_runs/ tables.
+1/2. refil + qmix_atten @ 3-8MMM_symmetric — UNTOUCHED protocol (eps 1->0.05
+   over 500k, buffer 5000, 160-episode test blocks every 50k; only t_max
+   overridden as budget). Closes the last unevidenced flagship ordering
+   claim (VERDICT r4 missing #1): the paper trio is sz/MMM/csz
+   (/root/reference/src/envs/starcraft2/custom_scenarios.py:108-142).
+3/4. refil + qmix_atten @ 3-8sz_symmetric, seed 0, untouched protocol —
+   restores the lost r4 headline pair. 4M/5M budgets: every seed-0 r4
+   threshold resolved by 1.56M (refil) / 3.53M (qmix).
+5/6. refil + qmix_atten @ 3-8csz_symmetric, seed 0, untouched protocol —
+   the paper-cadence csz pair (VERDICT r4 item 7; the r4 2M points used
+   32-episode blocks and were noisy).
+7/8. the sz pair again at seed 1 (VERDICT r4 item 2) — second seed of the
+   headline comparison.
 
-Usage: python scripts/learning_runs_r5.py [outdir] [first_run_index]
+Usage: python scripts/learning_runs_r5.py [outdir] [first_run_index] [deadline_epoch_s]
 """
 import os
 import sys
@@ -33,34 +33,35 @@ sys.path.insert(0, ".")
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "results/r5_runs"
 FIRST = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-
-# the r4 2M cadence — used ONLY for the MMM run so it pairs exactly with
-# results/r4_runs/refil_mmm_2m
-COMBAT_2M = [
-    "t_max=2000000",
-    "epsilon_anneal_time=400000",
-    "test_interval=100000",
-    "test_nepisode=32",
-]
+DEADLINE = float(sys.argv[3]) if len(sys.argv) > 3 else float("inf")
 
 RUNS = [
-    ("qmix_atten_mmm_2m", ["--config=qmix_atten", "--env-config=sc2custom",
-                           "with", "scenario=3-8MMM_symmetric",
-                           "name=qmix_atten_3-8MMM_2m", "seed=0", *COMBAT_2M]),
-    ("refil_sz_4m_s1", ["--config=refil", "--env-config=sc2custom", "with",
-                        "scenario=3-8sz_symmetric", "name=refil_3-8sz_4m_s1",
-                        "seed=1", "t_max=4000000"]),
-    ("qmix_atten_sz_6m_s1", ["--config=qmix_atten", "--env-config=sc2custom",
-                             "with", "scenario=3-8sz_symmetric",
-                             "name=qmix_atten_3-8sz_6m_s1", "seed=1",
-                             "t_max=6000000"]),
-    ("refil_csz_4m", ["--config=refil", "--env-config=sc2custom", "with",
-                      "scenario=3-8csz_symmetric", "name=refil_3-8csz_4m",
-                      "seed=0", "t_max=4000000"]),
-    ("qmix_atten_csz_4m", ["--config=qmix_atten", "--env-config=sc2custom",
-                           "with", "scenario=3-8csz_symmetric",
-                           "name=qmix_atten_3-8csz_4m", "seed=0",
-                           "t_max=4000000"]),
+    ("refil_mmm", ["--config=refil", "--env-config=sc2custom", "with",
+                   "scenario=3-8MMM_symmetric", "name=refil_3-8MMM",
+                   "seed=0", "t_max=3000000"]),
+    ("qmix_atten_mmm", ["--config=qmix_atten", "--env-config=sc2custom",
+                        "with", "scenario=3-8MMM_symmetric",
+                        "name=qmix_atten_3-8MMM", "seed=0", "t_max=4000000"]),
+    ("refil_sz", ["--config=refil", "--env-config=sc2custom", "with",
+                  "scenario=3-8sz_symmetric", "name=refil_3-8sz",
+                  "seed=0", "t_max=4000000"]),
+    ("qmix_atten_sz", ["--config=qmix_atten", "--env-config=sc2custom",
+                       "with", "scenario=3-8sz_symmetric",
+                       "name=qmix_atten_3-8sz", "seed=0", "t_max=5000000"]),
+    ("refil_csz", ["--config=refil", "--env-config=sc2custom", "with",
+                   "scenario=3-8csz_symmetric", "name=refil_3-8csz",
+                   "seed=0", "t_max=4000000"]),
+    ("qmix_atten_csz", ["--config=qmix_atten", "--env-config=sc2custom",
+                        "with", "scenario=3-8csz_symmetric",
+                        "name=qmix_atten_3-8csz", "seed=0",
+                        "t_max=4000000"]),
+    ("refil_sz_s1", ["--config=refil", "--env-config=sc2custom", "with",
+                     "scenario=3-8sz_symmetric", "name=refil_3-8sz_s1",
+                     "seed=1", "t_max=4000000"]),
+    ("qmix_atten_sz_s1", ["--config=qmix_atten", "--env-config=sc2custom",
+                          "with", "scenario=3-8sz_symmetric",
+                          "name=qmix_atten_3-8sz_s1", "seed=1",
+                          "t_max=5000000"]),
 ]
 
 
@@ -69,6 +70,10 @@ def main():
 
     os.makedirs(OUT, exist_ok=True)
     for tag, argv in RUNS[FIRST:]:
+        if time.time() > DEADLINE:
+            print(f"===== DEADLINE passed, skipping {tag} and the rest =====",
+                  flush=True)
+            break
         res = os.path.join(OUT, tag)
         t0 = time.time()
         print(f"\n===== {tag}: {' '.join(argv)} =====", flush=True)

@@ -32,7 +32,7 @@ def _free_port() -> int:
     return port
 
 
-def _worker_cmd(pid: int, port: int, results: str):
+def _worker_cmd(pid: int, port: int, results: str, extra=()):
     return [
         sys.executable, "-m", "refil_tpu.main",
         "--config=refil_group_matching", "--env-config=group_matching",
@@ -53,7 +53,7 @@ def _worker_cmd(pid: int, port: int, results: str):
         "log_interval=100",
         "use_pallas_attention=False",
         f"local_results_path={results}",
-    ]
+    ] + list(extra)
 
 
 @pytest.mark.slow
@@ -132,3 +132,102 @@ def test_two_process_distributed_training(tmp_path):
         assert m0[k] == pytest.approx(ms[k], rel=2e-4, abs=1e-7), (
             k, m0[k], ms[k],
         )
+
+
+def _losses(results_dir):
+    mdir = os.path.join(results_dir, "metrics")
+    rows = []
+    if not os.path.isdir(mdir):
+        return []
+    for fn in os.listdir(mdir):
+        with open(os.path.join(mdir, fn)) as f:
+            rows += [json.loads(l) for l in f if l.strip()]
+    return sorted((r["t"], r["value"]) for r in rows if r["key"] == "loss")
+
+
+def _spawn_pair(tmp_path, tag, port, extra, env, logs=True):
+    procs = []
+    for pid in range(2):
+        results = str(tmp_path / f"{tag}_p{pid}")
+        out = open(str(tmp_path / f"{tag}_p{pid}.log"), "w") if logs else None
+        procs.append(
+            subprocess.Popen(
+                _worker_cmd(pid, port, results, extra),
+                cwd=REPO, env=env, stdout=out, stderr=subprocess.STDOUT,
+            )
+        )
+    return procs
+
+
+@pytest.mark.slow
+def test_two_process_preemption_resume(tmp_path):
+    """The distributed analogue of test_cli_kill_and_resume_bit_exact
+    (VERDICT r4 item 8): SIGTERM a two-process jax.distributed run
+    mid-training — both processes write the exact-resume checkpoint through
+    the multi-host ring all-gather path (run.py::_save_checkpoint) — resume
+    from it, and the post-resume loss trajectory must match an uninterrupted
+    two-process run of the same seed."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO,
+    )
+    common = ["seed=3", "t_max=800", "learner_log_interval=1",
+              "save_model=False"]
+
+    # run A: uninterrupted ground truth
+    procs = _spawn_pair(tmp_path, "a", _free_port(), common, env)
+    for p in procs:
+        assert p.wait(timeout=600) == 0, open(
+            str(tmp_path / "a_p0.log")).read()[-4000:]
+    losses_a = _losses(str(tmp_path / "a_p0"))
+    assert losses_a and losses_a[-1][0] > 400, losses_a[-5:]
+
+    # run B: SIGTERM both processes once training is visibly past t~200
+    procs = _spawn_pair(tmp_path, "b", _free_port(), common, env)
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        ls = _losses(str(tmp_path / "b_p0"))
+        if ls and ls[-1][0] >= 200:
+            break
+        if any(p.poll() is not None for p in procs):
+            pytest.fail("run B exited before reaching the preemption point:\n"
+                        + open(str(tmp_path / "b_p0.log")).read()[-4000:])
+        time.sleep(0.3)
+    else:
+        pytest.fail("run B never reached t_env 200")
+    for p in procs:
+        p.send_signal(signal.SIGTERM)
+    for p in procs:
+        assert p.wait(timeout=600) == 0, open(
+            str(tmp_path / "b_p0.log")).read()[-4000:]
+    log0 = open(str(tmp_path / "b_p0.log")).read()
+    assert "Preempted at t_env=" in log0, log0[-4000:]
+    assert "all-gather failed" not in log0, log0[-4000:]
+
+    models_root = os.path.join(str(tmp_path / "b_p0"), "models")
+    (token,) = os.listdir(models_root)
+    ckpt_dir = os.path.join(models_root, token)
+    (step,) = [int(s) for s in os.listdir(ckpt_dir)]
+    assert 0 < step < 800, step
+
+    # run C: resume from the preemption checkpoint
+    procs = _spawn_pair(
+        tmp_path, "c", _free_port(),
+        common + [f"checkpoint_path={ckpt_dir}"], env,
+    )
+    for p in procs:
+        assert p.wait(timeout=600) == 0, open(
+            str(tmp_path / "c_p0.log")).read()[-4000:]
+
+    tail_a = [(t, v) for t, v in losses_a if t > step]
+    tail_c = [(t, v) for t, v in _losses(str(tmp_path / "c_p0")) if t > step]
+    assert tail_a, (step, losses_a[-5:])
+    assert [t for t, _ in tail_a] == [t for t, _ in tail_c]
+    for (t, va), (_, vc) in zip(tail_a, tail_c):
+        assert va == pytest.approx(vc, rel=1e-6), (t, va, vc)
