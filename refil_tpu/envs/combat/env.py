@@ -35,6 +35,9 @@ from . import units as U
 from .scenarios import CompiledScenarios, compile_scenarios
 
 _FAR = 1000.0
+# tier-2 focus-fire pick loop: unroll up to this many enemy slots (while-op
+# overhead dominates at flagship scale), fori_loop beyond (compile size)
+_FOCUS_FIRE_UNROLL_MAX_NE = 16
 # chasers stop this far INSIDE weapon range: halting at exactly w_range makes
 # the post-move `dist <= w_range` fire check floating-point luck (a melee unit
 # parked at 1.5000001 whiffs forever); SC2 itself closes slightly inside range
@@ -574,9 +577,7 @@ class EntityBattle:
             # pick to weapon range keeps movement honest: units still chase
             # whatever is closest (an enemy that paths across the ally army
             # toward the weakest target eats free damage and plays WORSE
-            # than tier 1). A lax.fori_loop over enemy slots (NOT a Python
-            # unroll: at flat-env scale, e.g. 64 zerglings, an unroll emits
-            # 64 dependent scatter-adds and bloats the compile).
+            # than tier 1).
             a_hp_now = state.a_health + state.a_shield  # (B, Na)
             e_wr_t = self.weapon_range[state.e_type]  # (B, Ne)
             in_rng = d_ea <= e_wr_t[:, :, None]  # (B, Ne, Na)
@@ -586,7 +587,7 @@ class EntityBattle:
             def pick_one(i, carry):
                 alloc, e_tgt = carry
                 eff = a_hp_now - alloc
-                rng_i = in_rng[:, i, :]
+                rng_i = lax.dynamic_index_in_dim(in_rng, i, 1, keepdims=False)
                 d_i = lax.dynamic_index_in_dim(d_ea, i, 1, keepdims=False)
                 score = jnp.where(rng_i & (eff > 0), eff + 1e-3 * d_i, jnp.inf)
                 # every in-range ally lethally covered: restack on lowest hp
@@ -602,10 +603,19 @@ class EntityBattle:
                 alloc = alloc.at[barange, tgt].add(e_dmg_pot[:, i] * can_fire)
                 return alloc, e_tgt.at[:, i].set(tgt)
 
-            _, e_target = lax.fori_loop(
-                0, Ne, pick_one,
-                (jnp.zeros_like(a_hp_now), jnp.zeros((B, Ne), nearest_a.dtype)),
-            )
+            carry = (jnp.zeros_like(a_hp_now),
+                     jnp.zeros((B, Ne), nearest_a.dtype))
+            if Ne <= _FOCUS_FIRE_UNROLL_MAX_NE:
+                # flagship scale: unroll — the picks chain through tiny
+                # (B, Na) tensors and a while op would add per-slot loop
+                # overhead inside the hot rollout scan
+                for i in range(Ne):
+                    carry = pick_one(i, carry)
+            else:
+                # flat-env scale (e.g. 64 zerglings): a fori_loop keeps the
+                # compile from emitting Ne dependent scatter-adds
+                carry = lax.fori_loop(0, Ne, pick_one, carry)
+            _, e_target = carry
         else:
             e_target = nearest_a  # tiers 0/1 fight whatever is closest
         e_sees = nearest_dist <= self.sight_range

@@ -102,6 +102,35 @@ def test_chaser_does_not_reserve_damage():
     assert float(state2.a_health[0, 1]) == 45.0, "ally1 must be untouched"
 
 
+def test_focus_fire_unroll_matches_fori_loop(monkeypatch):
+    """The unrolled (Ne<=16) and fori_loop (Ne>16) pick paths are the same
+    body — one full stochastic episode must evolve identically under both."""
+    import refil_tpu.envs.combat.env as env_mod
+
+    sd = fixed_armies([(3, "Marine")], [(3, "Marine")],
+                      separation=8, jitter=1, episode_limit=40)
+
+    def episode(unroll_max):
+        monkeypatch.setattr(env_mod, "_FOCUS_FIRE_UNROLL_MAX_NE", unroll_max)
+        env = EntityBattle(scenario_dict=sd, difficulty="7")
+        state, obs = env.reset(jax.random.PRNGKey(21), 16)
+        step = jax.jit(env.step)
+        key = jax.random.PRNGKey(22)
+        traj = []
+        for _ in range(20):
+            key, k = jax.random.split(key)
+            acts = env.heuristic_actions(state, obs["avail_actions"])
+            state, obs, rew, done, info = step(state, acts, k)
+            traj.append((np.asarray(state.a_health), np.asarray(state.e_health),
+                         np.asarray(rew)))
+        return traj
+
+    for (ah_u, eh_u, r_u), (ah_f, eh_f, r_f) in zip(episode(16), episode(0)):
+        np.testing.assert_array_equal(ah_u, ah_f)
+        np.testing.assert_array_equal(eh_u, eh_f)
+        np.testing.assert_array_equal(r_u, r_f)
+
+
 def test_focus_fire_scales_to_64_enemies():
     """The tier-2 slot-order pick loop is a lax.fori_loop, not a Python
     unroll: at flat-env scale (2c_vs_64zg is 64 zerglings at the default
