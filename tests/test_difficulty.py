@@ -67,16 +67,33 @@ def test_difficulty_knob_consumed(caplog):
     assert "heuristic_rest" not in caplog.text
 
 
-def test_unknown_difficulty_warns(caplog):
+def test_unknown_difficulty_warns():
     """Unknown difficulty strings default to tier 2 but must warn (the SC2
-    ladder has levels we collapse; silent fallback hides config typos)."""
+    ladder has levels we collapse; silent fallback hides config typos).
+    Captures via a handler on the package logger directly: get_logger()
+    sets propagate=False, so caplog cannot see these records once any CLI
+    test has run."""
     import logging
 
-    sd = SCENARIO_REGISTRY["1-5m_symmetric"]()
-    with caplog.at_level(logging.WARNING, logger="refil_tpu"):
+    records = []
+
+    class Collect(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("refil_tpu")
+    handler = Collect(level=logging.WARNING)
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.WARNING)
+    try:
+        sd = SCENARIO_REGISTRY["1-5m_symmetric"]()
         env = EntityBattle(scenario_dict=sd, difficulty="Z")
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
     assert env.enemy_tier == 2
-    assert "unknown difficulty" in caplog.text and "'Z'" in caplog.text
+    assert any("unknown difficulty" in m and "'Z'" in m for m in records), records
 
 
 def test_chaser_does_not_reserve_damage():
