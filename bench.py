@@ -508,7 +508,11 @@ def main():
         # point (B=4096)
         try:
             result.update(bench_combat(batch_size_run=512))
-            peak = bench_combat(n_blocks=5, batch_size_run=4096)
+            # 15-block window: the r4 5-block window under-read the shipped
+            # config by ~8% (582k vs 627k, order-independent and <0.1%
+            # cross-process spread at 15 blocks — results/PERF_ANALYSIS.md
+            # r5 addendum); r3's perf matrix used 10 blocks
+            peak = bench_combat(n_blocks=15, batch_size_run=4096)
             result["combat_peak_env_steps_per_s"] = peak["combat_env_steps_per_s"]
             result["combat_peak_batch_size_run"] = 4096
         except Exception as e:  # keep the headline metric robust
