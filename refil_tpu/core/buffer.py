@@ -29,17 +29,19 @@ import numpy as np
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _scatter(data, batch, positions):
-    return jax.tree.map(lambda buf, b: buf.at[positions].set(b), data, batch)
+    return jax.tree.map(
+        lambda buf, b: buf.at[positions].set(b.astype(buf.dtype)), data, batch
+    )
 
 
-@jax.jit
-def _gather(data, idx):
-    return jax.tree.map(lambda buf: buf[idx], data)
+# feature planes eligible for bf16 ring storage (mirrors core.pipeline)
+_FEATURE_RING_KEYS = frozenset({"entities", "obs", "state", "actions_onehot"})
 
 
 class ReplayBuffer:
     def __init__(self, template: Dict[str, jnp.ndarray], buffer_size: int,
-                 seed: int = 0, device=None, sharding=None):
+                 seed: int = 0, device=None, sharding=None,
+                 feature_dtype: str = "float32"):
         """``template``: one episode batch (B, T+1, ...) defining shapes/dtypes.
 
         ``device``: optional explicit placement for the ring storage — pass a
@@ -50,17 +52,40 @@ class ReplayBuffer:
         ``sharding``: optional ``NamedSharding`` to spread the ring's episode
         axis over a device mesh (classic-loop SPMD path; the fused pipeline
         shards its own ring). Mutually exclusive with ``device``.
+
+        ``feature_dtype``: ``"bfloat16"`` stores the float32 feature planes
+        (entities/obs/state/actions_onehot) compressed; inserts down-cast and
+        samples are cast back to the template dtypes. Reward/terminated/masks
+        always keep their dtype (``buffer_dtype`` config knob).
         """
         assert device is None or sharding is None, "device and sharding conflict"
+        assert feature_dtype in ("float32", "bfloat16"), feature_dtype
         self.buffer_size = buffer_size
         self.device = device
-        self.data = jax.tree.map(
-            lambda x: jnp.zeros((buffer_size,) + x.shape[1:], x.dtype), template
-        )
+        self._out_dtypes = {k: v.dtype for k, v in template.items()}
+
+        def store_dtype(k, dt):
+            if (feature_dtype == "bfloat16" and k in _FEATURE_RING_KEYS
+                    and dt == jnp.float32):
+                return jnp.bfloat16
+            return dt
+
+        self.data = {
+            k: jnp.zeros((buffer_size,) + x.shape[1:], store_dtype(k, x.dtype))
+            for k, x in template.items()
+        }
         if device is not None:
             self.data = jax.device_put(self.data, device)
         elif sharding is not None:
             self.data = jax.device_put(self.data, sharding)
+        out_dtypes = self._out_dtypes
+        # gather + cast back to template dtypes in ONE device op (the cast is
+        # a no-op unless feature planes are stored compressed)
+        self._gather = jax.jit(
+            lambda data, idx: {
+                k: data[k][idx].astype(out_dtypes[k]) for k in data
+            }
+        )
         self.index = 0
         self.episodes_in_buffer = 0
         self._rng = np.random.default_rng(seed)
@@ -87,7 +112,7 @@ class ReplayBuffer:
             idx = np.arange(batch_size)
         else:
             idx = self._rng.choice(self.episodes_in_buffer, batch_size, replace=False)
-        return _gather(self.data, jnp.asarray(idx, jnp.int32))
+        return self._gather(self.data, jnp.asarray(idx, jnp.int32))
 
     def sample_many(self, n_iters: int, batch_size: int) -> Dict[str, jnp.ndarray]:
         """``n_iters`` independent uniform samples gathered in ONE device op,
@@ -104,4 +129,4 @@ class ReplayBuffer:
                     for _ in range(n_iters)
                 ]
             )
-        return _gather(self.data, jnp.asarray(idx, jnp.int32))
+        return self._gather(self.data, jnp.asarray(idx, jnp.int32))

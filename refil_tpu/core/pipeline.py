@@ -41,6 +41,14 @@ import jax
 import jax.numpy as jnp
 
 
+# Episode-batch planes eligible for compressed ring storage: the big float32
+# feature planes the learner immediately casts to the compute dtype anyway.
+# Reward/terminated/filled (the TD-math inputs) and the bool masks are never
+# down-cast — see results/PERF_ANALYSIS.md "Where the single-chip envelope
+# ends" for the HBM accounting that motivates this.
+_FEATURE_RING_KEYS = frozenset({"entities", "obs", "state", "actions_onehot"})
+
+
 class PipelineState(NamedTuple):
     train: Any  # learners.q_learner.TrainState
     buffer: Any  # pytree {key: (buffer_size, T+1, ...)}
@@ -82,6 +90,14 @@ class FusedPipeline:
                 int(buffer_size), self.buffer_size, self.batch_size_run,
             )
         self.batch_size = int(args.batch_size)
+        # buffer_dtype=bfloat16 stores the feature planes of the ring
+        # (entities/obs/state/actions_onehot) in bf16 — halves the dominant
+        # HBM cost of large rings; reward/terminated/masks keep their dtype
+        # and samples are cast back to the rollout dtypes before training.
+        self.buffer_dtype = str(getattr(args, "buffer_dtype", "float32"))
+        assert self.buffer_dtype in ("float32", "bfloat16"), (
+            f"buffer_dtype must be float32 or bfloat16, got {self.buffer_dtype}"
+        )
         self.training_iters = int(args.training_iters)
         self.target_update_interval = int(args.target_update_interval)
         # gt-factor diagnostics (reference q_learner.py:98-105,138-147) are
@@ -137,6 +153,10 @@ class FusedPipeline:
             jnp.float32(0.0),
             jnp.int32(-1),
         )[0]
+        shapes = {
+            k: jax.ShapeDtypeStruct(s.shape, self._ring_dtype(k, s.dtype))
+            for k, s in shapes.items()
+        }
         if self.mesh is not None:
             # allocate directly with the ring sharding (created inside jit —
             # multi-process-safe, no transient host-global array)
@@ -167,6 +187,16 @@ class FusedPipeline:
         return PipelineState(train=train_state, buffer=buffer, **counters)
 
     # ------------------------------------------------------------------
+    def _ring_dtype(self, key: str, dtype) -> Any:
+        """Storage dtype for one ring plane under ``buffer_dtype``."""
+        if (
+            self.buffer_dtype == "bfloat16"
+            and key in _FEATURE_RING_KEYS
+            and dtype == jnp.float32
+        ):
+            return jnp.bfloat16
+        return dtype
+
     def _sample_idx(self, key: jax.Array, episodes_in_buffer) -> jnp.ndarray:
         """(training_iters, batch_size) uniform-without-replacement indices
         into the filled prefix of the ring (Gumbel top-k)."""
@@ -226,7 +256,11 @@ class FusedPipeline:
         }
         if train:
             idx = self._sample_idx(k_sample, episodes_in_buffer)
-            samples = jax.tree.map(lambda buf: buf[idx], buffer)
+            # gather + cast back to the rollout dtypes (no-op unless the ring
+            # stores compressed feature planes, see _ring_dtype)
+            samples = jax.tree.map(
+                lambda buf, b: buf[idx].astype(b.dtype), buffer, batch
+            )
             train_state, metrics = self.learner._train_iters_impl(
                 train_state, samples, k_train
             )

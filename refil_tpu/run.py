@@ -423,6 +423,7 @@ def run_sequential(args, logger: Logger) -> None:
                 episode_batch, args.buffer_size, seed=args.seed, device=buf_dev,
                 sharding=None if buf_dev is not None or mesh is None
                 else mesh.batch_sharding,
+                feature_dtype=getattr(args, "buffer_dtype", "float32"),
             )
         buffer.insert_episode_batch(episode_batch)
 
