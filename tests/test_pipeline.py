@@ -329,3 +329,38 @@ def test_bf16_ring_classic_buffer_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(out["reward"]), np.asarray(template["reward"])
     )
+
+
+def test_restore_casts_ring_to_configured_buffer_dtype():
+    """Resuming an f32-ring checkpoint into a buffer_dtype=bfloat16 config
+    converts the ring to the configured dtype (the config is authoritative,
+    run.py restore_pipeline_state)."""
+    from refil_tpu.run import restore_pipeline_state
+
+    pipe, runner, learner, state, args = _setup(buffer_dtype="bfloat16")
+    ps = pipe.init_state(state, jax.random.PRNGKey(21))
+    # an f32-era payload: same shapes, float32 feature planes
+    saved_ring = {
+        k: np.asarray(
+            jax.random.normal(jax.random.PRNGKey(i), v.shape), np.float32
+        )
+        if v.dtype == jnp.bfloat16
+        else np.asarray(v)
+        for i, (k, v) in enumerate(ps.buffer.items())
+    }
+    payload = {
+        "t_env": 123,
+        "episode": 8,
+        "last_target_episode": 0,
+        "key": np.asarray(jax.random.PRNGKey(3)),
+        "buffer": saved_ring,
+        "buffer_index": 4,
+        "episodes_in_buffer": 8,
+    }
+    ps2 = restore_pipeline_state(ps, payload, mesh=None)
+    assert ps2.buffer["entities"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(ps2.buffer["entities"].astype(jnp.float32)),
+        saved_ring["entities"].astype(jnp.bfloat16).astype(np.float32),
+    )
+    assert int(ps2.t_env) == 123 and int(ps2.episodes_in_buffer) == 8
